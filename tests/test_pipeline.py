@@ -1,0 +1,104 @@
+"""End-to-end: planted-label F1, golden clusters, resume semantics.
+
+The F1 >= 0.99 gate is BASELINE.json's headline metric; resume mirrors the
+reference's F6 idempotence guards (kill-and-rerun -> identical clusters,
+completed stages not recomputed).
+"""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from translink.config import LinkConfig
+from translink.evaluate import pairwise_prf
+from translink.pipeline import run_pipeline
+
+
+CFG = LinkConfig()
+
+
+def test_end_to_end_f1(spark, tiny):
+    result = run_pipeline(spark, tiny["transcripts"], CFG)
+    prf = pairwise_prf(tiny["labeled_pairs"], result["clusters"])
+    assert prf["f1"] >= 0.99, prf
+    assert prf["precision"] >= 0.99, prf
+    assert prf["recall"] >= 0.99, prf
+
+
+def test_expected_clusters_golden(spark, tiny):
+    """Cluster partition must equal the planted partition exactly (golden
+    assert, analog of group-structure asserts in tests/pipeline_test.rs:61-83)."""
+    result = run_pipeline(spark, tiny["transcripts"], CFG)
+    got = result["clusters"]
+    expected = tiny["expected_clusters"]
+    # compare as partitions: same members <-> same cluster label sets
+    diff = (
+        got.alias("g").join(expected.alias("e"), "conv_id", "full")
+        .filter(
+            (F.col("g.cluster_id") != F.col("e.cluster_id"))
+            | F.col("g.cluster_id").isNull()
+            | F.col("e.cluster_id").isNull()
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_primary_election(spark, tiny):
+    result = run_pipeline(spark, tiny["transcripts"], CFG)
+    members = result["members"]
+    per_cluster = members.groupBy("cluster_id").agg(
+        F.sum(F.col("is_primary").cast("int")).alias("n_primary")
+    )
+    assert per_cluster.filter(F.col("n_primary") != 1).count() == 0
+    # primary is the newest member (max_ts)
+    newest = members.groupBy("cluster_id").agg(F.max("max_ts").alias("mx"))
+    bad = (
+        members.filter("is_primary")
+        .join(newest, "cluster_id")
+        .filter(F.col("max_ts") != F.col("mx"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_resume_skips_completed_stages(spark, tiny, tmp_path):
+    wd = str(tmp_path / "work")
+    r1 = run_pipeline(spark, tiny["transcripts"], CFG, workdir=wd, input_fingerprint="tiny")
+    c1 = sorted((r["conv_id"], r["cluster_id"]) for r in r1["clusters"].collect())
+    manifest1 = json.loads(open(os.path.join(wd, "_manifest.json")).read())
+    assert set(manifest1) == {"canonical", "signed", "pairs", "scored", "clusters", "members"}
+
+    # simulate a mid-pipeline kill: drop the two final stages
+    r1["catalog"].invalidate("clusters")
+    r1["catalog"].invalidate("members")
+    r2 = run_pipeline(spark, tiny["transcripts"], CFG, workdir=wd, input_fingerprint="tiny")
+    c2 = sorted((r["conv_id"], r["cluster_id"]) for r in r2["clusters"].collect())
+    assert c1 == c2  # byte-identical final clusters
+    # earlier stages were resumed, not recomputed
+    assert r2["timings"]["canonical"] == 0.0
+    assert r2["timings"]["signed"] == 0.0
+    assert r2["timings"]["pairs"] == 0.0
+    assert r2["timings"]["scored"] == 0.0
+    assert r2["timings"]["clusters"] > 0.0
+
+
+def test_stale_config_invalidates_checkpoint(spark, tiny, tmp_path):
+    wd = str(tmp_path / "work2")
+    run_pipeline(spark, tiny["transcripts"], CFG, workdir=wd, input_fingerprint="tiny")
+    other = LinkConfig(threshold=0.9)
+    r = run_pipeline(spark, tiny["transcripts"], other, workdir=wd, input_fingerprint="tiny")
+    assert r["timings"]["canonical"] > 0.0  # fingerprint changed -> recompute
+
+
+def test_lineage_manifest_contents(spark, tiny, tmp_path):
+    wd = str(tmp_path / "work3")
+    r = run_pipeline(spark, tiny["transcripts"], CFG, workdir=wd, input_fingerprint="tiny")
+    lineage = r["catalog"].lineage()
+    for stage, entry in lineage.items():
+        assert entry["rows"] >= 0
+        assert entry["snapshot_id"]
+        assert isinstance(entry["partitions"], list)
+        if entry["partitions"]:
+            assert sum(p["rows"] for p in entry["partitions"]) == entry["rows"]

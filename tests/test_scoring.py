@@ -1,0 +1,83 @@
+"""Scorer kernels: hand-computed Jaro-Winkler values, Jaccard, blend.
+
+Mirrors the reference's similarity tests (identical > 95, different <
+identical; ``tests/phase4_test.rs:240-269``).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from translink.config import LinkConfig
+from translink.scoring import (
+    _jaro_winkler,
+    levenshtein_sim_expr,
+    score_pairs,
+    token_jaccard_expr,
+)
+
+
+@pytest.mark.parametrize(
+    "s,t,expected",
+    [
+        ("MARTHA", "MARHTA", 0.9611111),     # classic textbook value
+        ("DIXON", "DICKSONX", 0.8133333),
+        ("JELLYFISH", "SMELLYFISH", 0.8963),
+        ("abc", "abc", 1.0),
+        ("", "", 1.0),
+        ("abc", "", 0.0),
+        ("abc", "xyz", 0.0),
+    ],
+)
+def test_jaro_winkler_known_values(s, t, expected):
+    assert math.isclose(_jaro_winkler(s, t), expected, abs_tol=1e-3)
+
+
+def test_score_pairs_components(spark):
+    cfg = LinkConfig()
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b", "the quick brown fox", "the quick brown fox"),
+            ("a", "c", "the quick brown fox", "the quick brown cat"),
+            ("a", "d", "the quick brown fox", "zzz yyy xxx www"),
+        ],
+        "conv_id_a string, conv_id_b string, canon_text_a string, canon_text_b string",
+    )
+    scored = {r["conv_id_b"]: r for r in score_pairs(pairs, cfg).collect()}
+    assert scored["b"]["score"] == 1.0
+    assert scored["b"]["token_jaccard"] == 1.0
+    # 3-gram shingles: {"the quick brown","quick brown fox"} vs {...,"quick brown cat"}
+    assert math.isclose(scored["c"]["token_jaccard"], 1 / 3, abs_tol=1e-9)
+    assert scored["c"]["score"] > scored["d"]["score"]
+    assert scored["d"]["token_jaccard"] == 0.0
+    assert scored["d"]["score"] < cfg.threshold
+
+
+def test_levenshtein_sim_expr(spark):
+    df = spark.createDataFrame(
+        [("kitten", "sitting")], "canon_text_a string, canon_text_b string"
+    )
+    v = df.select(levenshtein_sim_expr(512).alias("v")).first()["v"]
+    assert math.isclose(v, 1 - 3 / 7, abs_tol=1e-9)
+
+
+def test_token_jaccard_empty_both_sides(spark):
+    df = spark.createDataFrame(
+        [("", "")], "canon_text_a string, canon_text_b string"
+    )
+    assert df.select(token_jaccard_expr().alias("v")).first()["v"] == 1.0
+
+
+def test_jw_udf_matches_local(spark):
+    rows = [
+        ("x", "y", "partition scheduler merge", "partition scheduler merge!"),
+        ("x", "z", "stream worker", "worker stream"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id_a string, conv_id_b string, canon_text_a string, canon_text_b string"
+    )
+    out = score_pairs(df, LinkConfig()).collect()
+    for r in out:
+        local = _jaro_winkler(r["canon_text_a"], r["canon_text_b"])
+        assert math.isclose(r["jaro_winkler"], local, abs_tol=1e-12)

@@ -1,0 +1,70 @@
+"""Signature kernels: digest stability, MinHash accuracy.
+
+Mirrors the reference's kernel unit tests (SimHash determinism
+``src/pipeline/stats.rs:433-448``, fingerprint well-formedness ``:485-503``).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from translink.canonicalize import canonicalize
+from translink.config import LinkConfig
+from translink.signatures import (
+    minhash_jaccard_expr,
+    shingles_expr,
+    with_exact_digest,
+    with_minhash,
+)
+
+
+def test_digest_deterministic_and_discriminating(spark, tiny):
+    c = with_exact_digest(canonicalize(tiny["transcripts"]))
+    # same text -> same digest; different text -> different digest (md5+xxhash both)
+    n_texts = c.select("canon_text").distinct().count()
+    assert c.select("digest", "digest_md5").distinct().count() == n_texts
+
+
+def test_minhash_shape(spark, tiny):
+    cfg = LinkConfig(num_hashes=32)
+    c = with_minhash(canonicalize(tiny["transcripts"]).limit(20), cfg)
+    rows = c.select(F.size("minhash").alias("k")).distinct().collect()
+    assert [r["k"] for r in rows] == [32]
+
+
+@pytest.mark.parametrize("overlap,expected", [(1.0, 1.0), (0.5, 0.5), (0.0, 0.0)])
+def test_minhash_estimates_jaccard(spark, overlap, expected):
+    """MinHash agreement rate approximates true shingle Jaccard."""
+    n = 200
+    shared = [f"s{i}" for i in range(int(n * overlap))]
+    a_only = [f"a{i}" for i in range(n - len(shared))]
+    b_only = [f"b{i}" for i in range(n - len(shared))]
+    text_a = " ".join(shared + a_only)
+    text_b = " ".join(shared + b_only)
+    cfg = LinkConfig(num_hashes=128, shingle_size=1)
+    df = spark.createDataFrame(
+        [("a", text_a), ("b", text_b)], "conv_id string, canon_text string"
+    )
+    signed = with_minhash(df, cfg)
+    est = (
+        signed.alias("a").join(signed.alias("b"), F.col("a.conv_id") < F.col("b.conv_id"))
+        .select(minhash_jaccard_expr().alias("j"))
+        .first()["j"]
+    )
+    # true jaccard of the two sets
+    true_j = len(shared) / (len(shared) + len(a_only) + len(b_only)) if n else 1.0
+    assert abs(est - true_j) < 0.15
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([("c", "one two")], "conv_id string, canon_text string")
+    row = df.select(shingles_expr("canon_text", 3).alias("s")).first()
+    assert row["s"] == ["one two"]
+
+
+def test_empty_text_sentinel_signature(spark):
+    cfg = LinkConfig(num_hashes=16)
+    df = spark.createDataFrame(
+        [("a", ""), ("b", "")], "conv_id string, canon_text string"
+    )
+    rows = with_minhash(df, cfg).select("minhash").collect()
+    assert rows[0]["minhash"] == rows[1]["minhash"] == [0] * 16

@@ -1,0 +1,115 @@
+"""Stage 2 — blocking keys, with explicit skew-bounding salt.
+
+The reference's core "join" is repeated hash-and-group on progressively
+stronger keys (size -> sampled checksum -> SimHash -> full hash; reference
+``src/pipeline/metadata.rs:43-49``, ``src/pipeline/streaming_hash.rs:132-202``).
+That is textbook entity-resolution *blocking*. We emit two families of keys:
+
+  - cheap attribute key: ``(n_turns, total_chars // length_bucket)`` — the
+    analog of group-by-size (A1).
+  - LSH band keys: the MinHash signature split into ``b`` bands of ``r``
+    rows; each band hashed to one key (A4 analog, proper MinHash-LSH instead
+    of exact-SimHash grouping).
+
+Skew (P8): one hot key (e.g. thousands of empty conversations) makes the
+downstream self-join quadratic. We bound every block to ``max_block_size``
+candidates by appending a salt: ``xxhash64(conv_id) % n_salt`` where
+``n_salt = ceil(block_size / max_block_size)``. Pairs across salt sub-blocks
+of an oversized block are sacrificed — a deliberate guardrail, the analog of
+the reference's bounded sampling (P5) and bounded channels (T4) — and the
+overflow is observable in metrics (blocks_oversized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from translink.config import LinkConfig
+
+
+def with_block_key(signed: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
+    """Add the cheap attribute blocking key ``block_key: string``.
+
+    ``n_turns`` and a bucketed ``total_chars`` — both O(1) per record and
+    computed map-side; near-duplicates with small text perturbations land in
+    the same bucket when the edit stays within ``length_bucket`` chars.
+    """
+    cfg = cfg or LinkConfig()
+    return signed.withColumn(
+        "block_key",
+        F.concat_ws(
+            "|",
+            F.col("n_turns").cast("string"),
+            F.floor(F.col("total_chars") / cfg.length_bucket).cast("string"),
+        ),
+    )
+
+
+def with_salt(
+    df: DataFrame,
+    key_cols: list[str],
+    cfg: LinkConfig | None = None,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Append ``salt: int`` bounding each ``key_cols`` block to
+    ``cfg.max_block_size`` members, plus ``block_size`` for metrics.
+
+    Two deterministic modes (cfg.salt_mode):
+      - ``hash``: salt = pmod(xxhash64(id), n_salt). Stateless per row once
+        block_size is known; stable under input reordering.
+      - ``rank``: salt = (row_number over block ordered by id) % n_salt.
+        Exactly reproducible in ANSI SQL engines — used by the DuckDB oracle.
+
+    Both need one window over the block key (a single shuffle that the
+    downstream self-join reuses, since the join key is a superset).
+    """
+    cfg = cfg or LinkConfig()
+    w = Window.partitionBy(*key_cols)
+    df = df.withColumn("block_size", F.count("*").over(w))
+    n_salt = F.ceil(F.col("block_size") / cfg.max_block_size).cast("int")
+    if cfg.salt_mode == "rank":
+        rn = F.row_number().over(w.orderBy(id_col))
+        salt = ((rn - F.lit(1)) % n_salt).cast("int")
+    else:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), n_salt).cast("int")
+    return df.withColumn("salt", salt)
+
+
+def lsh_band_keys(signed: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
+    """Explode the MinHash signature into ``(band_id, band_hash)`` blocking
+    keys — one output row per (conversation, band).
+
+    Two conversations share a band key iff their signatures agree on all
+    ``r = num_hashes/bands`` components of that band; P[share >= 1 band]
+    follows the standard (1 - (1 - j^r)^b) S-curve, so bands/rows tune the
+    Jaccard threshold the blocker recalls.
+    """
+    cfg = cfg or LinkConfig()
+    b, r = cfg.lsh_bands, cfg.lsh_rows
+    return (
+        signed
+        .select(
+            "conv_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {b - 1}), "
+                    f"i -> xxhash64(array_join(slice(minhash, i * {r} + 1, {r}), ','), i))"
+                )
+            ).alias("band_id", "band_hash"),
+        )
+    )
+
+
+def oversized_blocks(df_with_salt: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
+    """Blocks whose size exceeded the salt bound — the observable overflow
+    metric (P8): each row is one block that was split, with its fan-out."""
+    cfg = cfg or LinkConfig()
+    return (
+        df_with_salt
+        .filter(F.col("block_size") > cfg.max_block_size)
+        .groupBy("block_key")
+        .agg(
+            F.max("block_size").alias("block_size"),
+            (F.max("salt") + 1).alias("n_salt"),
+        )
+    )

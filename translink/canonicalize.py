@@ -1,0 +1,112 @@
+"""Stage 0 — canonicalize turn rows into per-conversation records.
+
+The reference's unit of dedup is one file (``FileInfo``, reference
+``src/types.rs:6-20``); ours is one conversation. A conversation's canonical
+form is its turns in stable ``(turn_idx)`` order, each turn rendered as
+``role <RS> text`` and joined with ``<US>`` — the analog of a file's
+deterministic byte order. The per-row invariant (BASELINE input_hint):
+per-turn text equality under stable turn ordering — two conversations are
+exact duplicates iff their canonical texts are byte-equal.
+
+Pure DataFrame ops: ``array_sort(collect_list(struct(...)))`` gives a
+deterministic order-insensitive aggregation regardless of input row order
+(shuffled input produces the identical canonical record — tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from translink.config import LinkConfig
+
+#: Separators woven into the canonical text. ASCII RS/US control characters —
+#: cannot appear in normal transcript text, so turn boundaries are unambiguous.
+ROLE_SEP = chr(30)
+TURN_SEP = chr(31)
+
+#: Output schema of this stage (progressively enriched downstream, the analog
+#: of the reference's ``Option<>``-filled columns, src/types.rs:15-17).
+CANONICAL_COLUMNS = [
+    "conv_id", "n_turns", "total_chars", "canon_text", "first_ts", "max_ts",
+]
+
+
+def canonicalize(transcripts: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
+    """Reduce ``transcripts(conv_id, turn_idx, role, text, tool, ts)`` to one
+    row per conversation.
+
+    Columns produced:
+      - ``n_turns``      — cheap O(1) blocking attribute (analog of file
+                           ``size``, reference src/types.rs:9).
+      - ``total_chars``  — second cheap blocking attribute (uncapped).
+      - ``canon_text``   — turns sorted by ``turn_idx``, each
+                           ``role<RS>text`` (text capped at
+                           ``cfg.turn_text_cap`` chars — bounded per-row cost
+                           at 10^12-turn scale, the analog of the reference's
+                           bounded content sampling,
+                           src/pipeline/stats.rs:109-115), joined by ``<US>``.
+      - ``first_ts`` / ``max_ts`` — recency attributes; ``max_ts`` elects the
+                           primary record per cluster (analog of ``modified``,
+                           reference src/report/mod.rs:133-137).
+
+    The aggregation is a single shuffle on ``conv_id``; everything else is
+    map-side. No Python touches a row.
+    """
+    cfg = cfg or LinkConfig()
+    cap = int(cfg.turn_text_cap)
+
+    turn_repr = F.concat(
+        F.coalesce(F.col("role"), F.lit("")),
+        F.lit(ROLE_SEP),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, cap),
+    )
+
+    out = (
+        transcripts
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("_chars"),
+            turn_repr.alias("_turn"),
+            F.col("ts"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum("_chars").cast("long").alias("total_chars"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(turn_idx, _turn))),"
+                    " s -> s._turn)"
+                ),
+                TURN_SEP,
+            ).alias("canon_text"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+    if cfg.min_turns > 1:
+        # min-size filter (reference src/pipeline/metadata.rs:32-37) — applied
+        # post-agg because the predicate is on the aggregate.
+        out = out.filter(F.col("n_turns") >= cfg.min_turns)
+    return out
+
+
+def explode_canonical(canonical: DataFrame) -> DataFrame:
+    """Inverse of canonicalize for invariant checking: split ``canon_text``
+    back into ``(conv_id, turn_idx, role, text)`` rows. Used by tests to
+    verify per-turn text equality survived the round trip."""
+    return (
+        canonical
+        .select(
+            "conv_id",
+            F.posexplode(F.split("canon_text", TURN_SEP)).alias("turn_idx", "_turn"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.split("_turn", ROLE_SEP, 2).getItem(0).alias("role"),
+            # text may itself be empty; element 1 always exists by construction
+            F.split("_turn", ROLE_SEP, 2).getItem(1).alias("text"),
+        )
+    )

@@ -1,0 +1,151 @@
+"""Driver orchestrator — the ordered stage fold.
+
+Mirrors ``Pipeline::execute`` (reference ``src/pipeline/mod.rs:52-119``):
+stages run in fixed cheap-to-expensive order (P1 filter cascade), records
+that resolve early (exact digests) short-circuit past similarity scoring
+(the reference's early ``Duplicates`` termination, ``:92-95``), and every
+stage output checkpoints through the Catalog so a killed run resumes at the
+first stage whose checkpoint is missing or stale (F6 idempotence).
+
+Stage graph::
+
+    transcripts
+      └─ canonicalize            (1 shuffle: groupBy conv_id)
+           └─ signatures          (map-only: digests + minhash)
+                ├─ exact edges    (1 shuffle: window over digest)   ─┐
+                ├─ attribute blocking + salt + self-join pairs       ├─ edges
+                └─ LSH band keys + salted band self-join pairs      ─┘
+                     └─ scoring   (JVM sims + Arrow JW)  → threshold
+                          └─ connected components (iterative, ~2 shuffles/round)
+                               └─ clusters (+ singletons) → report
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from translink.blocking import lsh_band_keys, with_block_key, with_salt
+from translink.candidates import candidate_pairs, lsh_candidate_pairs
+from translink.canonicalize import canonicalize
+from translink.catalog import Catalog
+from translink.clustering import (
+    clusters_with_singletons,
+    connected_components,
+    exact_edges,
+)
+from translink.config import LinkConfig
+from translink.report import elect_primary
+from translink.scoring import edges as threshold_edges
+from translink.scoring import score_pairs
+from translink.signatures import with_exact_digest, with_minhash
+
+#: Ordered stage names — checkpoint identities in the catalog manifest.
+STAGES = ["canonical", "signed", "pairs", "scored", "clusters", "members"]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: LinkConfig | None = None,
+    workdir: str | None = None,
+    input_fingerprint: str = "",
+) -> dict:
+    """Run the full linkage pipeline; returns a dict with every stage's
+    DataFrame plus ``timings`` (stage -> wall seconds).
+
+    With ``workdir`` set, each stage persists via the Catalog and a rerun
+    reuses any stage whose (config, input) fingerprint matches — delete the
+    workdir (or pass a changed config) to force recompute.
+    """
+    cfg = cfg or LinkConfig()
+    cat = Catalog(spark, workdir) if workdir else None
+    fp = cfg.fingerprint() + ":" + input_fingerprint
+    timings: dict[str, float] = {}
+
+    def _stage(name: str, build) -> DataFrame:
+        t0 = time.time()
+        if cat is not None:
+            if cat.has_stage(name, fp):
+                df = cat.read_stage(name)
+                timings[name] = 0.0  # resumed, not recomputed
+                return df
+            df = cat.write_stage(name, build(), fp)
+        else:
+            df = build()
+        timings[name] = round(time.time() - t0, 3)
+        return df
+
+    canonical = _stage("canonical", lambda: canonicalize(transcripts, cfg))
+    signed = _stage(
+        "signed", lambda: with_minhash(with_exact_digest(canonical), cfg)
+    )
+
+    def _build_pairs() -> DataFrame:
+        # Attribute blocking (A1 analog) with skew salt.
+        blocked = with_salt(with_block_key(signed, cfg), ["block_key"], cfg)
+        attr_pairs = candidate_pairs(blocked, cfg, payload_cols=["digest"])
+        # LSH band blocking (A4 analog).
+        bands = lsh_band_keys(signed, cfg)
+        lsh_pairs = lsh_candidate_pairs(bands, signed, cfg, payload_cols=["digest"]).drop(
+            "n_bands_hit"
+        )
+        # One row per distinct pair from either blocker; pairs already equal
+        # by digest are resolved on the exact path — exclude them from
+        # similarity scoring (the reference's early-exit, src/pipeline/mod.rs:92-95).
+        return (
+            attr_pairs.select("conv_id_a", "conv_id_b", "digest_a", "digest_b")
+            .union(lsh_pairs.select("conv_id_a", "conv_id_b", "digest_a", "digest_b"))
+            .filter(F.col("digest_a") != F.col("digest_b"))
+            .select("conv_id_a", "conv_id_b")
+            .distinct()
+        )
+
+    pairs = _stage("pairs", _build_pairs)
+
+    def _build_scored() -> DataFrame:
+        payload = signed.select("conv_id", "canon_text")
+        enriched = (
+            pairs
+            .join(
+                payload.select(
+                    F.col("conv_id").alias("conv_id_a"),
+                    F.col("canon_text").alias("canon_text_a"),
+                ),
+                "conv_id_a",
+            )
+            .join(
+                payload.select(
+                    F.col("conv_id").alias("conv_id_b"),
+                    F.col("canon_text").alias("canon_text_b"),
+                ),
+                "conv_id_b",
+            )
+        )
+        return score_pairs(enriched, cfg).select(
+            "conv_id_a", "conv_id_b",
+            "token_jaccard", "levenshtein_sim", "jaro_winkler", "score",
+        )
+
+    scored = _stage("scored", _build_scored)
+
+    def _build_clusters() -> DataFrame:
+        sim_edges = threshold_edges(scored, cfg).select("src", "dst")
+        ex_edges = exact_edges(signed).select("src", "dst")
+        components = connected_components(sim_edges.union(ex_edges), cfg)
+        return clusters_with_singletons(signed.select("conv_id"), components)
+
+    clusters = _stage("clusters", _build_clusters)
+    members = _stage("members", lambda: elect_primary(clusters, canonical))
+
+    return {
+        "canonical": canonical,
+        "signed": signed,
+        "pairs": pairs,
+        "scored": scored,
+        "clusters": clusters,
+        "members": members,
+        "timings": timings,
+        "catalog": cat,
+    }

@@ -1,0 +1,59 @@
+"""SparkSession builder with the engine's execution profile.
+
+Encodes the architecture decisions from SURVEY.md §4:
+  - Arrow on (P6: the reference moves records in Vec batches; we move Arrow
+    batches into pandas UDFs).
+  - autoBroadcastJoinThreshold = -1 (P12: the reference is deliberately
+    broadcast-free; the north rule mandates sort-merge self-joins).
+  - AQE on, incl. skew-join splitting (P8 analog of work-stealing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "translink",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession used by the pipeline.
+
+    ``master`` defaults to ``local[N]`` with N from ``$SPARK_GRAFT_CPUS``
+    (driver contract) or all cores. On a real cluster pass ``None`` and set
+    the master through spark-submit; every other conf still applies.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+
+    conf = {
+        # Arrow batching for pandas UDFs (P6).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # Broadcast-free joins (P12 / north rule): the self-join sides are the
+        # same table — broadcasting the build side would not survive 100x
+        # scale-up, so we pin sort-merge.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # AQE: runtime coalescing + skew-join splitting (P8).
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Deterministic timestamps across engines.
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or 32),
+        "spark.ui.showConsoleProgress": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
