@@ -1,38 +1,835 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship linkage pipeline on sf0.001.
+``queries()`` exposes every oracle-checkable operator of the translink engine
+(SURVEY.md §2) over a transcripts table derived deterministically from the
+shared ``events`` parquet — the same derivation is expressed in DuckDB SQL in
+``oracle_sql()`` so both engines compute from identical inputs. Exact
+duplicates (every 5th user's conversations, re-keyed ``_dup``) and near
+duplicates (``_nd`` with one perturbed turn) are planted inside the
+derivation itself, so dedup queries return non-trivial, checkable results.
+
+Engine-internal fast paths (xxhash64 digests, MinHash/LSH) are not
+reproducible in ANSI SQL; oracle-checked queries therefore cluster on the
+canonical text / md5 (semantically identical — the digest is an optimization
+over text equality), while LSH/SimHash queries are exposed rows-only.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from translink.blocking import with_block_key, with_salt
+from translink.candidates import candidate_pairs
+from translink.canonicalize import canonicalize
+from translink.config import LinkConfig
+from translink.pipeline import run_pipeline
+from translink.scoring import score_pairs
+from translink.signatures import with_exact_digest
+
+# Engine config used by every oracle-checked query: rank-mode salt is exactly
+# reproducible in ANSI SQL (row_number), unlike the default hash salt.
+CFG = LinkConfig(salt_mode="rank")
+
+TURNS_PER_CONV = 8
+EXACT_DUP_MOD = 5      # user_id % 5 == 0 -> planted exact duplicate convs
+NEAR_DUP_MOD = 5       # user_id % 5 == 1 -> planted near duplicate convs
+
+
+# --------------------------------------------------------------------------
+# Shared input derivation: events -> transcripts(conv_id, turn_idx, role,
+# text, tool, ts). Must stay semantically identical to _TRANSCRIPTS_SQL.
+# --------------------------------------------------------------------------
+
+def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turns0 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .select(
+            F.concat(
+                F.lit("conv_"),
+                F.lpad(F.col("user_id").cast("string"), 6, "0"),
+                F.lit("_"),
+                F.lpad(
+                    F.floor((F.col("rn") - 1) / TURNS_PER_CONV).cast("string"),
+                    4, "0",
+                ),
+            ).alias("conv_id"),
+            ((F.col("rn") - 1) % TURNS_PER_CONV).cast("int").alias("turn_idx"),
+            F.when(F.col("event_id") % 3 == 0, F.lit("user"))
+            .when(F.col("event_id") % 3 == 1, F.lit("assistant"))
+            .otherwise(F.lit("tool")).alias("role"),
+            F.concat(
+                F.coalesce("event_type", F.lit("")),
+                F.lit(" "),
+                F.coalesce("props", F.lit("")),
+            ).alias("text"),
+            F.when(F.col("event_id") % 3 == 2, F.col("event_type")).alias("tool"),
+            F.col("ts"),
+            F.col("user_id"),
+        )
+    )
+    dup = (
+        turns0.filter(F.col("user_id") % EXACT_DUP_MOD == 0)
+        .select(
+            F.concat("conv_id", F.lit("_dup")).alias("conv_id"),
+            "turn_idx", "role", "text", "tool",
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        )
+    )
+    near = (
+        turns0.filter(F.col("user_id") % NEAR_DUP_MOD == 1)
+        .select(
+            F.concat("conv_id", F.lit("_nd")).alias("conv_id"),
+            "turn_idx", "role",
+            F.when(F.col("turn_idx") == 0, F.concat("text", F.lit(" xq")))
+            .otherwise(F.col("text")).alias("text"),
+            "tool",
+            (F.col("ts") + F.expr("INTERVAL 2 DAY")).alias("ts"),
+        )
+    )
+    base = turns0.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    return base.unionByName(dup).unionByName(near)
+
+
+#: DuckDB CTEs producing the identical transcripts + canonical tables.
+_TRANSCRIPTS_SQL = f"""
+base AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+turns0 AS (
+  SELECT
+    concat('conv_', lpad(CAST(user_id AS VARCHAR), 6, '0'), '_',
+           lpad(CAST(CAST(floor((rn - 1) / {TURNS_PER_CONV}) AS BIGINT) AS VARCHAR), 4, '0')) AS conv_id,
+    CAST((rn - 1) % {TURNS_PER_CONV} AS INT) AS turn_idx,
+    CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+         ELSE 'tool' END AS role,
+    concat(coalesce(event_type, ''), ' ', coalesce(props, '')) AS text,
+    CASE WHEN event_id % 3 = 2 THEN event_type ELSE NULL END AS tool,
+    ts, user_id
+  FROM base
+),
+transcripts_derived AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM turns0
+  UNION ALL
+  SELECT concat(conv_id, '_dup'), turn_idx, role, text, tool,
+         ts + INTERVAL 1 DAY
+  FROM turns0 WHERE user_id % {EXACT_DUP_MOD} = 0
+  UNION ALL
+  SELECT concat(conv_id, '_nd'), turn_idx, role,
+         CASE WHEN turn_idx = 0 THEN concat(text, ' xq') ELSE text END,
+         tool, ts + INTERVAL 2 DAY
+  FROM turns0 WHERE user_id % {NEAR_DUP_MOD} = 1
+),
+canonical AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+         string_agg(coalesce(role, '') || chr(30) || coalesce(text, ''),
+                    chr(31) ORDER BY turn_idx) AS canon_text,
+         min(ts) AS first_ts,
+         max(ts) AS max_ts
+  FROM transcripts_derived GROUP BY conv_id
+)
+"""
+
+#: DuckDB expression for the engine's word-3-gram shingle set of a column.
+def _shingles_sql(col: str, n: int = 3) -> str:
+    toks = f"list_filter(string_split_regex(lower({col}), '[^a-zA-Z0-9]+'), t -> t <> '')"
+    return (
+        f"list_filter(list_distinct(CASE WHEN len({toks}) <= {n} "
+        f"THEN [array_to_string({toks}, ' ')] "
+        f"ELSE list_transform(generate_series(1, len({toks}) - {n} + 1), "
+        f"i -> array_to_string(({toks})[i:i + {n - 1}], ' ')) END), s -> s <> '')"
+    )
+
+
+_BLOCKED_SQL = f"""
+blocked AS (
+  SELECT conv_id, n_turns, total_chars, canon_text, max_ts,
+         concat(CAST(n_turns AS VARCHAR), '|',
+                CAST(CAST(floor(total_chars / {CFG.length_bucket}) AS BIGINT) AS VARCHAR)) AS block_key,
+         {_shingles_sql('canon_text')} AS shingles
+  FROM canonical
+),
+salted AS (
+  SELECT *,
+         CAST(count(*) OVER (PARTITION BY block_key) AS BIGINT) AS block_size,
+         CAST((row_number() OVER (PARTITION BY block_key ORDER BY conv_id) - 1)
+              % CAST(ceil(count(*) OVER (PARTITION BY block_key)
+                          / {CFG.max_block_size}.0) AS BIGINT) AS INT) AS salt
+  FROM blocked
+),
+cand_pairs AS (
+  SELECT a.conv_id AS conv_id_a, b.conv_id AS conv_id_b,
+         a.block_key AS block_key, a.salt AS salt,
+         a.canon_text AS canon_text_a, b.canon_text AS canon_text_b,
+         a.shingles AS shingles_a, b.shingles AS shingles_b
+  FROM salted a JOIN salted b
+    ON a.block_key = b.block_key AND a.salt = b.salt
+   AND a.conv_id < b.conv_id
+)
+"""
+
+
+def _spark_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return canonicalize(derive_transcripts(spark, sf_dir), CFG)
+
+
+def _spark_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from translink.signatures import shingles_expr
+
+    signed = with_block_key(_spark_canonical(spark, sf_dir), CFG).withColumn(
+        "shingles", shingles_expr("canon_text", CFG.shingle_size)
+    )
+    return with_salt(signed, ["block_key"], CFG)
+
+
+def _spark_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shingles ride the join as precomputed arrays (computed O(n), not O(pairs))
+    pairs = candidate_pairs(
+        _spark_salted(spark, sf_dir), CFG, payload_cols=["canon_text", "shingles"]
+    )
+    return score_pairs(pairs, CFG, include_jaro_winkler=False)
+
+
+_SCORE_SQL = f"""
+scored AS (
+  SELECT conv_id_a, conv_id_b,
+         CASE WHEN len(list_distinct(list_concat(shingles_a, shingles_b))) = 0
+              THEN 1.0
+              ELSE len(list_intersect(shingles_a, shingles_b))
+                   / len(list_distinct(list_concat(shingles_a, shingles_b)))
+         END AS token_jaccard,
+         1.0 - levenshtein(canon_text_a[1:{CFG.lev_text_cap}], canon_text_b[1:{CFG.lev_text_cap}])
+               / greatest(length(canon_text_a[1:{CFG.lev_text_cap}]),
+                          length(canon_text_b[1:{CFG.lev_text_cap}]), 1) AS levenshtein_sim,
+         canon_text_a = canon_text_b AS is_exact
+  FROM cand_pairs
+),
+scored_final AS (
+  SELECT conv_id_a, conv_id_b, token_jaccard, levenshtein_sim,
+         CASE WHEN is_exact THEN 1.0
+              ELSE (token_jaccard * {CFG.w_jaccard} + levenshtein_sim * {CFG.w_levenshtein})
+                   / {CFG.w_jaccard + CFG.w_levenshtein} END AS score
+  FROM scored
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Driver entry points
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full linkage pipeline over sf0.001-derived transcripts;
+    returns (conv_id, cluster_id, cluster_size) for every conversation."""
+    transcripts = derive_transcripts(spark, "/root/testdata/sf0.001")
+    result = run_pipeline(spark, transcripts, CFG)
+    clusters = result["clusters"]
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "conv_id", "cluster_id", F.count("*").over(w).alias("cluster_size")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- q01: canonicalization (stage 0; O2 stable turn ordering) ---------
+    def q_canonicalize(spark, sf_dir):
+        return _spark_canonical(spark, sf_dir).select(
+            "conv_id", "n_turns", "total_chars",
+            F.md5("canon_text").alias("canon_md5"),
+            "first_ts", "max_ts",
+        )
+    q["canonicalize"] = q_canonicalize
+
+    # -- q02: exact-duplicate clusters (A1+A5+C2 hash-and-group) ----------
+    def q_exact(spark, sf_dir):
+        c = with_exact_digest(_spark_canonical(spark, sf_dir))
+        w = Window.partitionBy("digest_md5")
+        return (
+            c.select(
+                "conv_id",
+                F.min("conv_id").over(w).alias("cluster_id"),
+                F.count("*").over(w).alias("group_size"),
+            )
+            .filter(F.col("group_size") >= 2)
+        )
+    q["exact_dup_clusters"] = q_exact
+
+    # -- q03: blocking stats (A1 group-by-size analog + A6 dup/unique) ----
+    def q_blocks(spark, sf_dir):
+        b = with_block_key(_spark_canonical(spark, sf_dir), CFG)
+        return (
+            b.groupBy("block_key")
+            .agg(F.count("*").alias("block_size"))
+            .filter(F.col("block_size") >= 2)
+        )
+    q["block_stats"] = q_blocks
+
+    # -- q04: salted candidate pairs (P8 skew bound + J1 self-join) -------
+    def q_pairs(spark, sf_dir):
+        return candidate_pairs(
+            _spark_salted(spark, sf_dir), CFG, payload_cols=[]
+        ).join(
+            _spark_salted(spark, sf_dir)
+            .select("conv_id", "salt")
+            .withColumnRenamed("conv_id", "conv_id_a"),
+            "conv_id_a",
+        ).select("conv_id_a", "conv_id_b", "block_key", "salt")
+    q["candidate_pairs"] = q_pairs
+
+    # -- q05: pairwise scoring (H13 blend, JVM components) ----------------
+    def q_scores(spark, sf_dir):
+        return _spark_scored_pairs(spark, sf_dir).select(
+            "conv_id_a", "conv_id_b", "token_jaccard", "levenshtein_sim", "score"
+        )
+    q["pair_scores"] = q_scores
+
+    # -- q06: thresholded edges -------------------------------------------
+    def q_edges(spark, sf_dir):
+        return (
+            _spark_scored_pairs(spark, sf_dir)
+            .filter(F.col("score") >= CFG.threshold)
+            .select(
+                F.col("conv_id_a").alias("src"),
+                F.col("conv_id_b").alias("dst"),
+                "score",
+            )
+        )
+    q["edges"] = q_edges
+
+    # -- q07: connected-component clusters (C1 transitive closure) --------
+    # Same edge set as the oracle (attribute blocking + no-JW blend), so the
+    # thing under test is the large-star/small-star CC operator itself
+    # against DuckDB's recursive-CTE transitive closure. The full engine
+    # (LSH + Jaro-Winkler) is exercised by entry() and the pytest F1 gate.
+    def q_clusters(spark, sf_dir):
+        from translink.clustering import (
+            clusters_with_singletons, connected_components,
+        )
+        scored = _spark_scored_pairs(spark, sf_dir)
+        sim_edges = scored.filter(F.col("score") >= CFG.threshold).select(
+            F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
+        )
+        c = _spark_canonical(spark, sf_dir)
+        w = Window.partitionBy(F.md5("canon_text"))
+        star = (
+            c.select(
+                F.min("conv_id").over(w).alias("src"),
+                F.col("conv_id").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        comps = connected_components(sim_edges.union(star), CFG)
+        return clusters_with_singletons(c.select("conv_id"), comps)
+    q["clusters"] = q_clusters
+
+    # -- q08: primary election (C3, O1 recency sort) ----------------------
+    def q_primary(spark, sf_dir):
+        c = with_exact_digest(_spark_canonical(spark, sf_dir))
+        w = Window.partitionBy("digest_md5")
+        members = (
+            c.select(
+                "conv_id", "max_ts",
+                F.min("conv_id").over(w).alias("cluster_id"),
+                F.count("*").over(w).alias("group_size"),
+            )
+            .filter(F.col("group_size") >= 2)
+        )
+        wrank = Window.partitionBy("cluster_id").orderBy(
+            F.col("max_ts").desc(), F.col("conv_id").asc()
+        )
+        return members.select(
+            "conv_id", "cluster_id",
+            (F.row_number().over(wrank) == 1).alias("is_primary"),
+        )
+    q["primary_election"] = q_primary
+
+    # -- q09: cluster report rollups (A7) ---------------------------------
+    def q_report(spark, sf_dir):
+        c = with_exact_digest(_spark_canonical(spark, sf_dir))
+        w = Window.partitionBy("digest_md5")
+        members = c.select(
+            "conv_id", "total_chars", "max_ts",
+            F.min("conv_id").over(w).alias("cluster_id"),
+            F.count("*").over(w).alias("group_size"),
+        ).filter(F.col("group_size") >= 2)
+        wrank = Window.partitionBy("cluster_id").orderBy(
+            F.col("max_ts").desc(), F.col("conv_id").asc()
+        )
+        ranked = members.withColumn("rk", F.row_number().over(wrank))
+        return ranked.groupBy("cluster_id").agg(
+            F.count("*").alias("n_members"),
+            F.sum("total_chars").alias("total_chars_sum"),
+            F.sum(F.when(F.col("rk") > 1, F.col("total_chars")).otherwise(F.lit(0)))
+            .alias("savings_chars"),
+            F.max("max_ts").alias("newest_ts"),
+        )
+    q["cluster_report"] = q_report
+
+    # -- q10: min-turns scan filter (F1 predicate pushdown) ---------------
+    def q_minturns(spark, sf_dir):
+        return (
+            _spark_canonical(spark, sf_dir)
+            .filter(F.col("n_turns") >= 4)
+            .select("conv_id", "n_turns")
+        )
+    q["min_turns_filter"] = q_minturns
+
+    # ===== documents-table training-data ops (SURVEY §2.3 kernels) =======
+
+    def _docs(spark, sf_dir):
+        """documents + planted copies (doc_id % 50 == 0 re-keyed +1000000)
+        so exact-dedup queries return non-trivial groups in both engines."""
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        dup = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+        return d.unionByName(dup)
+
+    # -- q12: exact document dedup (A1+A5 on the doc corpus) --------------
+    def q_doc_exact(spark, sf_dir):
+        from translink.textops import doc_exact_dup_clusters
+        return doc_exact_dup_clusters(_docs(spark, sf_dir))
+    q["doc_exact_dupes"] = q_doc_exact
+
+    # -- q13: blocked shingle-Jaccard near-dup pairs ----------------------
+    def q_doc_jaccard(spark, sf_dir):
+        from translink.textops import doc_jaccard_pairs
+        return doc_jaccard_pairs(
+            _docs(spark, sf_dir), threshold=0.5, salt_mode="rank"
+        )
+    q["doc_jaccard_pairs"] = q_doc_jaccard
+
+    # -- q14: language-ID heuristic (H4 MIME-detection analog) ------------
+    def q_langid(spark, sf_dir):
+        from translink.textops import doc_langid
+        return doc_langid(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    q["doc_langid"] = q_langid
+
+    # -- q15: quality scoring (H5 structure analysis analog) --------------
+    def q_quality(spark, sf_dir):
+        from translink.textops import doc_quality
+        return doc_quality(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    q["doc_quality"] = q_quality
+
+    # -- q16: token stats --------------------------------------------------
+    def q_tokens(spark, sf_dir):
+        from translink.textops import doc_token_stats
+        return doc_token_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    q["doc_token_stats"] = q_tokens
+
+    # -- q17: fingerprints (H10/H11) — md5 columns only (xxhash64 has no
+    #          DuckDB twin, so it is excluded from the oracle-checked set) --
+    def q_fingerprint(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        text = F.coalesce("text", F.lit(""))
+        return docs.select(
+            "doc_id",
+            F.md5(text).alias("fingerprint_md5"),
+            F.substring(F.md5(text), 1, 8).alias("fingerprint_prefix"),
+            F.length(text).cast("long").alias("n_chars_measured"),
+        )
+    q["doc_fingerprint"] = q_fingerprint
+
+    # -- q18: exact ANN top-k (brute-force cosine baseline) ---------------
+    def q_ann(spark, sf_dir):
+        from translink.ann import cosine_topk
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    q["ann_cosine_topk"] = q_ann
+
+    # -- q19: k-NN label vote ---------------------------------------------
+    def q_knn(spark, sf_dir):
+        from translink.ann import knn_label_vote
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return knn_label_vote(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    q["knn_label_vote"] = q_knn
+
+    # -- q20: event-level exact dedup (A1 on the raw stream table) --------
+    def q_event_dedup(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id", "event_type", "props")
+        return (
+            ev.select(
+                "event_id",
+                F.min("event_id").over(w).alias("dup_group"),
+                F.count("*").over(w).alias("group_size"),
+            )
+            .filter(F.col("group_size") >= 2)
+        )
+    q["event_exact_dedup"] = q_event_dedup
+
+    # ===== rows-only queries (no ANSI-SQL twin; weaker driver check) =====
+    # Engine fast paths whose hash families DuckDB cannot reproduce; their
+    # correctness is pinned by pytest parity tests against the exact
+    # baselines above (tests/test_textops.py, tests/test_ann.py).
+
+    def q_doc_minhash(spark, sf_dir):
+        from translink.textops import doc_minhash_lsh_pairs
+        return doc_minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    q["doc_minhash_lsh_pairs"] = q_doc_minhash
+
+    def q_doc_simhash(spark, sf_dir):
+        from translink.textops import doc_simhash_pairs
+        return doc_simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    q["doc_simhash_pairs"] = q_doc_simhash
+
+    def q_ann_lsh(spark, sf_dir):
+        from translink.ann import cosine_topk_lsh
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return cosine_topk_lsh(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64,
+            n_planes=6, n_tables=16,
+        )
+    q["ann_cosine_topk_lsh"] = q_ann_lsh
+
+    def q_lsh_blocked_clusters(spark, sf_dir):
+        """Full engine pipeline (LSH + JW scorer) — the flagship, rows-only
+        because MinHash banding + the pandas-UDF scorer have no SQL twin."""
+        result = run_pipeline(spark, derive_transcripts(spark, sf_dir), CFG)
+        return result["clusters"]
+    q["pipeline_clusters_full"] = q_lsh_blocked_clusters
+
+    # -- q11: global dedup stats (A8/A9 report arithmetic) ----------------
+    def q_stats(spark, sf_dir):
+        c = with_exact_digest(_spark_canonical(spark, sf_dir))
+        w = Window.partitionBy("digest_md5")
+        m = c.select(
+            "conv_id", "total_chars",
+            F.count("*").over(w).alias("group_size"),
+            F.row_number().over(
+                Window.partitionBy("digest_md5").orderBy(F.col("conv_id"))
+            ).alias("rk"),
+        )
+        return m.select(
+            F.count("*").alias("n_convs"),
+            F.sum(F.when((F.col("group_size") >= 2) & (F.col("rk") == 1), 1)
+                  .otherwise(0)).alias("n_dup_groups"),
+            F.sum(F.when((F.col("group_size") >= 2) & (F.col("rk") > 1), 1)
+                  .otherwise(0)).alias("n_dup_convs"),
+            F.sum(F.when((F.col("group_size") >= 2) & (F.col("rk") > 1),
+                         F.col("total_chars")).otherwise(F.lit(0)))
+            .alias("savings_chars"),
+        )
+    q["dedup_stats"] = q_stats
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["canonicalize"] = f"""
+WITH {_TRANSCRIPTS_SQL}
+SELECT conv_id, n_turns, total_chars, md5(canon_text) AS canon_md5,
+       first_ts, max_ts
+FROM canonical
+"""
+
+    o["exact_dup_clusters"] = f"""
+WITH {_TRANSCRIPTS_SQL}
+SELECT conv_id,
+       min(conv_id) OVER (PARTITION BY canon_text) AS cluster_id,
+       CAST(count(*) OVER (PARTITION BY canon_text) AS BIGINT) AS group_size
+FROM canonical
+QUALIFY group_size >= 2
+"""
+
+    o["block_stats"] = f"""
+WITH {_TRANSCRIPTS_SQL}
+SELECT concat(CAST(n_turns AS VARCHAR), '|',
+              CAST(CAST(floor(total_chars / {CFG.length_bucket}) AS BIGINT) AS VARCHAR)) AS block_key,
+       CAST(count(*) AS BIGINT) AS block_size
+FROM canonical
+GROUP BY 1 HAVING count(*) >= 2
+"""
+
+    o["candidate_pairs"] = f"""
+WITH {_TRANSCRIPTS_SQL}, {_BLOCKED_SQL}
+SELECT conv_id_a, conv_id_b, block_key, salt FROM cand_pairs
+"""
+
+    o["pair_scores"] = f"""
+WITH {_TRANSCRIPTS_SQL}, {_BLOCKED_SQL}, {_SCORE_SQL}
+SELECT conv_id_a, conv_id_b, token_jaccard, levenshtein_sim, score
+FROM scored_final
+"""
+
+    o["edges"] = f"""
+WITH {_TRANSCRIPTS_SQL}, {_BLOCKED_SQL}, {_SCORE_SQL}
+SELECT conv_id_a AS src, conv_id_b AS dst, score
+FROM scored_final WHERE score >= {CFG.threshold}
+"""
+
+    o["clusters"] = f"""
+WITH RECURSIVE {_TRANSCRIPTS_SQL}, {_BLOCKED_SQL}, {_SCORE_SQL},
+sim_edges AS (
+  SELECT conv_id_a AS src, conv_id_b AS dst
+  FROM scored_final WHERE score >= {CFG.threshold}
+),
+exact_star AS (
+  -- star edges: each member to its group min (linear, like the engine)
+  SELECT r.src, r.dst FROM (
+    SELECT min(conv_id) OVER (PARTITION BY canon_text) AS src, conv_id AS dst
+    FROM canonical
+  ) r WHERE r.src <> r.dst
+),
+all_edges AS (
+  SELECT src, dst FROM sim_edges
+  UNION
+  SELECT src, dst FROM exact_star
+),
+sym AS (
+  SELECT src, dst FROM all_edges
+  UNION
+  SELECT dst, src FROM all_edges
+),
+reach(a, b) AS (
+  SELECT conv_id, conv_id FROM canonical
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src
+)
+SELECT a AS conv_id, min(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+    o["primary_election"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+members AS (
+  SELECT conv_id, max_ts,
+         min(conv_id) OVER (PARTITION BY canon_text) AS cluster_id,
+         count(*) OVER (PARTITION BY canon_text) AS group_size
+  FROM canonical QUALIFY group_size >= 2
+)
+SELECT conv_id, cluster_id,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY max_ts DESC, conv_id ASC) = 1 AS is_primary
+FROM members
+"""
+
+    o["cluster_report"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+members AS (
+  SELECT conv_id, total_chars, max_ts,
+         min(conv_id) OVER (PARTITION BY canon_text) AS cluster_id,
+         count(*) OVER (PARTITION BY canon_text) AS group_size
+  FROM canonical QUALIFY group_size >= 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY max_ts DESC, conv_id ASC) AS rk
+  FROM members
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(total_chars) AS BIGINT) AS total_chars_sum,
+       CAST(sum(CASE WHEN rk > 1 THEN total_chars ELSE 0 END) AS BIGINT) AS savings_chars,
+       max(max_ts) AS newest_ts
+FROM ranked GROUP BY cluster_id
+"""
+
+    o["min_turns_filter"] = f"""
+WITH {_TRANSCRIPTS_SQL}
+SELECT conv_id, n_turns FROM canonical WHERE n_turns >= 4
+"""
+
+    docs_cte = """
+docs_planted AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 50 = 0
+)
+"""
+
+    o["doc_exact_dupes"] = f"""
+WITH {docs_cte}
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY text) AS cluster_id,
+       CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS group_size
+FROM docs_planted
+QUALIFY group_size >= 2
+"""
+
+    coalesced_text = "coalesce(text, '')"
+    o["doc_jaccard_pairs"] = f"""
+WITH {docs_cte},
+doc_blocked AS (
+  SELECT doc_id,
+         concat(coalesce(lang, ''), '|',
+                CAST(CAST(floor(length(coalesce(text, '')) / 64) AS BIGINT) AS VARCHAR)) AS block_key,
+         {_shingles_sql(coalesced_text)} AS shingles
+  FROM docs_planted
+),
+doc_salted AS (
+  SELECT *,
+         CAST((row_number() OVER (PARTITION BY block_key ORDER BY doc_id) - 1)
+              % CAST(ceil(count(*) OVER (PARTITION BY block_key) / 64.0) AS BIGINT) AS INT) AS salt
+  FROM doc_blocked
+)
+SELECT * FROM (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 1.0
+              ELSE len(list_intersect(a.shingles, b.shingles))
+                   / len(list_distinct(list_concat(a.shingles, b.shingles))) END AS jaccard
+  FROM doc_salted a JOIN doc_salted b
+    ON a.block_key = b.block_key AND a.salt = b.salt AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+    lang_profiles = {
+        "en": ["the", "and", "of", "to", "fast", "small", "key"],
+        "de": ["der", "und", "die", "das", "nicht", "ist"],
+        "es": ["el", "la", "los", "que", "de", "una"],
+        "fr": ["le", "les", "des", "une", "est", "dans"],
+        "zh": ["de", "shi", "bu", "le", "zai"],
+    }
+    toks_sql = (
+        "list_filter(list_distinct(string_split_regex(lower(coalesce(text, '')), "
+        "'[^a-zA-Z0-9]+')), t -> t <> '')"
+    )
+    hits = {
+        code: f"CAST(len(list_intersect({toks_sql}, "
+              f"[{', '.join(repr(w) for w in ws)}])) AS INT)"
+        for code, ws in lang_profiles.items()
+    }
+    best = "greatest(" + ", ".join(f"h_{c}" for c in sorted(hits)) + ")"
+    guess_case = "CASE " + " ".join(
+        f"WHEN h_{c} = {best} THEN '{c}'" for c in sorted(hits)
+    ) + " END"
+    o["doc_langid"] = f"""
+WITH h AS (
+  SELECT doc_id, {', '.join(f'{expr} AS h_{c}' for c, expr in sorted(hits.items()))}
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN {best} > 0 THEN {guess_case} ELSE 'und' END AS lang_guess,
+       {best} AS lang_hits
+FROM h
+"""
+
+    o["doc_quality"] = """
+WITH t AS (
+  SELECT doc_id,
+         coalesce(text, '') AS txt,
+         length(coalesce(text, '')) AS n,
+         length(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9 ]', '', 'g')) AS alnum_sp,
+         length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g')) AS digits,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-zA-Z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(n AS BIGINT) AS n_chars_measured,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         (n - alnum_sp) / greatest(n, 1) AS punct_ratio,
+         digits / greatest(n, 1) AS digit_ratio,
+         len(list_distinct(toks)) / greatest(len(toks), 1) AS uniq_token_ratio
+  FROM t
+)
+SELECT doc_id, n_chars_measured, n_tokens, punct_ratio, digit_ratio,
+       uniq_token_ratio,
+       1.0 - least(punct_ratio * 2, 1.0) * 0.4
+           - least(digit_ratio * 2, 1.0) * 0.2
+           + (uniq_token_ratio - 0.5) * 0.2 AS quality_score
+FROM r
+"""
+
+    o["doc_token_stats"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-zA-Z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+       CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS total_token_chars
+FROM t
+"""
+
+    o["doc_fingerprint"] = """
+SELECT doc_id,
+       md5(coalesce(text, '')) AS fingerprint_md5,
+       md5(coalesce(text, ''))[1:8] AS fingerprint_prefix,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_measured
+FROM documents
+"""
+
+    o["ann_cosine_topk"] = """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT * FROM d WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+          * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cosine
+  FROM q JOIN d c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS "rank",
+       cosine
+FROM scored
+QUALIFY "rank" <= 5
+"""
+
+    o["knn_label_vote"] = """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+q AS (SELECT * FROM d WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+         list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+          * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cosine
+  FROM q JOIN d c ON q.vec_id <> c.vec_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, label
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id ASC) <= 5
+),
+votes AS (
+  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+  FROM topk GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, votes
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY votes DESC, label ASC) = 1
+"""
+
+    o["event_exact_dedup"] = """
+SELECT event_id,
+       min(event_id) OVER (PARTITION BY user_id, event_type, props) AS dup_group,
+       CAST(count(*) OVER (PARTITION BY user_id, event_type, props) AS BIGINT) AS group_size
+FROM events
+QUALIFY group_size >= 2
+"""
+
+    o["dedup_stats"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+m AS (
+  SELECT conv_id, total_chars,
+         count(*) OVER (PARTITION BY canon_text) AS group_size,
+         row_number() OVER (PARTITION BY canon_text ORDER BY conv_id) AS rk
+  FROM canonical
+)
+SELECT CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(CASE WHEN group_size >= 2 AND rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       CAST(sum(CASE WHEN group_size >= 2 AND rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_convs,
+       CAST(sum(CASE WHEN group_size >= 2 AND rk > 1 THEN total_chars ELSE 0 END) AS BIGINT) AS savings_chars
+FROM m
+"""
+
+    return o

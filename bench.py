@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is materialized with a full-row checksum aggregate
+(bit_xor(xxhash64(struct(*)))) so Catalyst cannot prune the expensive
+columns a bare count() would skip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from translink.session import get_spark  # noqa: E402
+
+#: Headline operators benchmarked per round. Names match queries() entries
+#: (plus the full pipeline, which subsumes canonicalize/signatures/blocking/
+#: scoring/clustering end to end).
+BENCH_QUERIES = [
+    "pipeline_clusters_full",
+    "exact_dup_clusters",
+    "candidate_pairs",
+    "pair_scores",
+    "doc_minhash_lsh_pairs",
+    "doc_jaccard_pairs",
+    "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
+    "event_exact_dedup",
+]
+
+
+def materialize(df) -> tuple[int, int]:
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("checksum"),
+    ).first()
+    return int(row["n"]), int(row["checksum"] or 0)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(32, 2 * cpus),
+        app_name="translink-bench",
+    )
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n, _ = materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+        rows[name] = n
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "translink_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": sf,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""One scaling-bench measurement: run the full linkage pipeline at a given
+core count and print a JSON result line.
+
+Spawned by bench_scaling.py once per parallelism level (a Spark local-mode
+JVM cannot change its core count after start, so each level is its own
+process — the sandbox stand-in for submitting the same job to an N- vs
+4N-executor cluster).
+
+Timing starts after the SparkSession is up and the input is on disk: it
+measures the job, not JVM/infra startup, mirroring how cluster throughput
+would be measured.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from translink.config import LinkConfig  # noqa: E402
+from translink.pipeline import run_pipeline  # noqa: E402
+from translink.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--input", required=True, help="transcripts parquet dir")
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        master=f"local[{args.cores}]",
+        shuffle_partitions=4 * args.cores,
+        app_name=f"translink-scaling-{args.cores}",
+    )
+    transcripts = spark.read.parquet(args.input)
+    n_rows = transcripts.count()  # warms the scan; not part of the timing
+
+    best = None
+    for _ in range(args.repeat):
+        t0 = time.time()
+        result = run_pipeline(spark, transcripts, LinkConfig())
+        clusters = result["clusters"]
+        agg = clusters.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(F.struct(*clusters.columns))).alias("checksum"),
+        ).first()
+        wall = time.time() - t0
+        if best is None or wall < best["wall_s"]:
+            best = {
+                "cores": args.cores,
+                "rows": n_rows,
+                "clusters": int(agg["n"]),
+                "checksum": int(agg["checksum"] or 0),
+                "wall_s": round(wall, 3),
+                "rows_per_s": round(n_rows / wall, 1),
+            }
+    print("RESULT " + json.dumps(best))
+
+
+if __name__ == "__main__":
+    main()

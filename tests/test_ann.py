@@ -1,0 +1,77 @@
+"""ANN operators: exact top-k sanity, LSH recall vs exact baseline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from translink.ann import (
+    cosine_topk,
+    cosine_topk_lsh,
+    knn_label_vote,
+    with_hyperplane_bucket,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    return df.cache()
+
+
+def test_topk_shape_and_self_exclusion(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    got = cosine_topk(emb, q, k=3)
+    rows = got.collect()
+    assert len(rows) == 5 * 3
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+    assert all(-1.0 <= r["cosine"] <= 1.0 + 1e-12 for r in rows)
+
+
+def test_topk_ordering(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0)
+    rows = cosine_topk(emb, q, k=10).orderBy("rank").collect()
+    scores = [r["cosine"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_identical_vector_is_top1(spark, emb):
+    # plant an exact copy of vec 0 under a new id
+    copy = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(99999).cast("long"))
+    corpus = emb.unionByName(copy)
+    top1 = (
+        cosine_topk(corpus, emb.filter(F.col("vec_id") == 0), k=1)
+        .first()
+    )
+    assert top1["neighbor_id"] == 99999
+    assert abs(top1["cosine"] - 1.0) < 1e-12
+
+
+def test_bucket_determinism(spark, emb):
+    b1 = {r["vec_id"]: r["bucket"] for r in
+          with_hyperplane_bucket(emb, dim=64, n_planes=8).select("vec_id", "bucket").collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in
+          with_hyperplane_bucket(emb, dim=64, n_planes=8).select("vec_id", "bucket").collect()}
+    assert b1 == b2
+    assert all(0 <= v < 256 for v in b1.values())
+
+
+def test_lsh_recall_vs_exact(spark, emb):
+    """Multi-table bucketed ANN: recall@5 against the exact baseline.
+    Random gaussian vectors are LSH's worst case (top neighbors sit near
+    cos ~0.45, p ~0.65/plane); 6 planes x 16 tables predicts recall ~0.6."""
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in cosine_topk_lsh(emb, q, k=5, dim=64,
+                                       n_planes=6, n_tables=16).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.4, recall
+
+
+def test_knn_label_vote(spark, emb):
+    got = knn_label_vote(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    rows = got.collect()
+    assert len(rows) == 5
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    assert all(r["predicted_label"] in labels for r in rows)
+    assert all(1 <= r["votes"] <= 5 for r in rows)

@@ -1,0 +1,117 @@
+"""Document-corpus operators: LSH vs brute-force parity, kernels.
+
+Mirrors the reference's statistical-stage tests (duplicate detection
+``tests/phase4_test.rs:174-208``, similarity ordering ``:240-269``).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from translink.config import LinkConfig
+from translink.textops import (
+    doc_exact_dup_clusters,
+    doc_fingerprint,
+    doc_jaccard_pairs,
+    doc_langid,
+    doc_minhash_lsh_pairs,
+    doc_quality,
+    doc_simhash,
+    doc_simhash_pairs,
+    doc_token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat near the river bank", "en"),  # near dup of 0
+        (3, "der schnelle braune fuchs springt nicht das ist und der hund", "de"),
+        (4, "el gato que la los una de casa grande azul verde rojo", "es"),
+        (5, "completely different words entirely unrelated content here talking about databases", "en"),
+        (6, "", "en"),                                                                 # empty
+        (7, "short", "en"),                                                            # single token
+    ]
+    return spark.createDataFrame(
+        [(i, t, lang, "src", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).cache()
+
+
+def test_exact_dup(spark, docs):
+    got = {(r["doc_id"], r["cluster_id"]) for r in doc_exact_dup_clusters(docs).collect()}
+    assert got == {(0, 0), (1, 0)}
+
+
+def test_jaccard_pairs_brute_force(spark, docs):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in doc_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 5) not in pairs
+
+
+def test_minhash_lsh_matches_brute_force(spark, docs):
+    """LSH + verification must find exactly the brute-force pairs above the
+    threshold (the verify step makes precision exact; recall is the only
+    LSH-dependent part, and at j>=0.5 with 16x4 banding it is ~1)."""
+    brute = {
+        (r["doc_id_a"], r["doc_id_b"], round(r["jaccard"], 9))
+        for r in doc_jaccard_pairs(
+            docs, threshold=0.5, max_block_size=10_000
+        ).collect()
+    }
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"], round(r["jaccard"], 9))
+        for r in doc_minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert lsh == brute
+
+
+def test_simhash_properties(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in doc_simhash(docs).collect()}
+    assert sh[0] == sh[1]          # identical text -> identical simhash
+    assert sh[6] == 0              # empty text sentinel
+    assert sh[0] != sh[5]          # different text -> different simhash
+
+
+def test_simhash_pairs(spark, docs):
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in
+           doc_simhash_pairs(docs, max_hamming=3).collect()}
+    assert got.get((0, 1)) == 0
+    assert (0, 5) not in got
+
+
+def test_langid(spark, docs):
+    got = {r["doc_id"]: r["lang_guess"] for r in doc_langid(docs).collect()}
+    assert got[0] == "en"
+    assert got[3] == "de"
+    assert got[4] == "es"
+    assert got[6] == "und"
+
+
+def test_quality(spark, docs):
+    got = {r["doc_id"]: r for r in doc_quality(docs).collect()}
+    assert got[0]["n_tokens"] == 13
+    assert got[6]["n_tokens"] == 0
+    assert 0.0 <= got[0]["punct_ratio"] < 0.05
+    # repetitive text ('the' x3) has lower unique-token ratio than doc 5
+    assert got[0]["uniq_token_ratio"] < got[5]["uniq_token_ratio"]
+
+
+def test_token_stats(spark, docs):
+    got = {r["doc_id"]: r for r in doc_token_stats(docs).collect()}
+    assert got[0]["n_tokens"] == 13
+    assert got[0]["n_unique_tokens"] == 11  # 'the' x3
+    assert got[6]["total_token_chars"] == 0
+
+
+def test_fingerprint(spark, docs):
+    got = {r["doc_id"]: r for r in doc_fingerprint(docs).collect()}
+    assert got[0]["fingerprint_md5"] == got[1]["fingerprint_md5"]
+    assert got[0]["fingerprint_xx64"] == got[1]["fingerprint_xx64"]
+    assert got[0]["fingerprint_md5"] != got[2]["fingerprint_md5"]
+    assert len(got[0]["fingerprint_prefix"]) == 8

@@ -1,0 +1,206 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths over ``embeddings(vec_id, embedding: array<float>, label)``:
+
+  - ``cosine_topk`` — exact brute force: query set x corpus join, cosine in
+    a JVM fold (zip_with + aggregate, whole-stage codegen; deterministic
+    left-to-right double summation so a DuckDB oracle can reproduce it
+    bit-for-bit). The correctness baseline.
+  - ``cosine_topk_lsh`` — random-hyperplane LSH: vectors bucketed by the
+    sign pattern of ``n_planes`` fixed seeded hyperplanes; top-k runs inside
+    (query-bucket) groups only. The 100TB path: bucket sizes, not corpus
+    size, bound the join fan-out.
+
+The hyperplanes are literal arrays baked into the plan (seeded numpy), so
+the operator is deterministic and needs no broadcast variable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _cos_expr(a: str, b: str) -> F.Column:
+    """Deterministic cosine similarity between two float-array columns,
+    computed in doubles with a sequential fold."""
+    dot = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    na = (
+        f"sqrt(aggregate({a}, cast(0.0 as double), "
+        f"(acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+    nb = (
+        f"sqrt(aggregate({b}, cast(0.0 as double), "
+        f"(acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+    return F.expr(f"{dot} / ({na} * {nb})")
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of every query vector.
+
+    ``queries`` is a (id, vector) DataFrame (often a filtered slice of the
+    corpus). The join is a cross product queries x corpus — correct baseline
+    at any corpus size only when the query set is small; use
+    ``cosine_topk_lsh`` for query sets that scale with the corpus.
+    Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cos_expr("_qv", "_cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def with_hyperplane_bucket(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``bucket: bigint`` — the sign pattern of the vector against
+    ``n_planes`` fixed hyperplanes (SimHash for cosine distance). Vectors
+    with high cosine similarity land in the same bucket with probability
+    ``(1 - theta/pi)^n_planes``."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for i, plane in enumerate(planes):
+        arr = "array(" + ", ".join(f"cast({x!r} as double)" for x in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> cast(x as double) * y), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(case when {dot} >= 0.0 then cast({1 << i} as bigint) else cast(0 as bigint) end)")
+    return embeddings.withColumn("bucket", F.expr(" + ".join(bits)))
+
+
+def hyperplane_bucket_keys(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table hyperplane LSH keys: one row per (vector, table) with that
+    table's sign-pattern bucket. OR-amplification across tables: two vectors
+    are candidates if they share a bucket in ANY table — recall
+    1 - (1 - p^n_planes)^n_tables for per-plane agreement p = 1 - theta/pi.
+    """
+    out = []
+    for t in range(n_tables):
+        b = with_hyperplane_bucket(
+            embeddings, dim, n_planes, seed + 7919 * t, vec_col
+        ).select(
+            F.col(id_col), F.col(vec_col),
+            F.lit(t).alias("table_id"), F.col("bucket"),
+        )
+        out.append(b)
+    res = out[0]
+    for b in out[1:]:
+        res = res.unionByName(b)
+    return res
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates are vectors sharing any LSH table
+    bucket with the query; exact cosine then ranks the candidates. Recall
+    < 1 by construction (measured against the exact baseline in tests);
+    join fan-out is per-bucket per-table, so the plan survives corpus
+    scale-up — tune n_planes (bucket size) and n_tables (recall) instead of
+    paying the full cross product."""
+    c = hyperplane_bucket_keys(
+        embeddings, dim, n_planes, n_tables, seed, id_col, vec_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        "table_id", "bucket",
+    )
+    q = hyperplane_bucket_keys(
+        queries, dim, n_planes, n_tables, seed, id_col, vec_col
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        "table_id", "bucket",
+    )
+    cand = (
+        q.join(c, on=["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_qv", "neighbor_id", "_cv")
+        .distinct()  # a pair colliding in several tables scores once
+    )
+    scored = cand.withColumn("cosine", _cos_expr("_qv", "_cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def knn_label_vote(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority label per query (ties -> smallest label). A one-line
+    consumer of the exact top-k — the shape of a dataset-curation dedup/
+    labeling job."""
+    topk = cosine_topk(embeddings, queries, k, id_col, vec_col)
+    labeled = topk.join(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(label_col)),
+        "neighbor_id",
+    )
+    counts = labeled.groupBy("query_id", label_col).agg(F.count("*").alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col(label_col).asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col(label_col).alias("predicted_label"), "votes")
+    )

@@ -1,0 +1,90 @@
+"""Command-line entry point — the analog of the reference's clap CLI
+(``src/main.rs:23-57``): input, output, performance profile, format.
+
+Ships via spark-submit::
+
+    spark-submit --py-files translink.zip -m translink.cli ...  # cluster
+    python -m translink.cli --input t.parquet --workdir work    # local
+
+The profile presets mirror the reference's standard/high/ultra performance
+modes (``src/main.rs:88-121``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from translink.config import PROFILES, LinkConfig
+from translink.evaluate import pairwise_prf
+from translink.pipeline import run_pipeline
+from translink.report import cluster_report, elect_primary, global_stats, write_report
+from translink.session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="translink",
+        description="PySpark record-linkage over conversation transcripts",
+    )
+    p.add_argument("--input", required=True,
+                   help="transcripts parquet path (conv_id, turn_idx, role, text, tool, ts)")
+    p.add_argument("--workdir", default=None,
+                   help="checkpoint/lineage directory (enables resume)")
+    p.add_argument("--output", default=None, help="report output path")
+    p.add_argument("--format", choices=["json", "csv", "text"], default="json")
+    p.add_argument("--profile", choices=sorted(PROFILES), default="standard")
+    p.add_argument("--threshold", type=float, default=None)
+    p.add_argument("--min-turns", type=int, default=None)
+    p.add_argument("--max-block-size", type=int, default=None)
+    p.add_argument("--master", default=None,
+                   help="spark master override (omit under spark-submit)")
+    p.add_argument("--labels", default=None,
+                   help="labeled-pairs parquet for F1 evaluation")
+    return p
+
+
+def config_from_args(args) -> LinkConfig:
+    import dataclasses
+
+    cfg = PROFILES[args.profile]
+    overrides = {}
+    if args.threshold is not None:
+        overrides["threshold"] = args.threshold
+    if args.min_turns is not None:
+        overrides["min_turns"] = args.min_turns
+    if args.max_block_size is not None:
+        overrides["max_block_size"] = args.max_block_size
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    spark = get_spark(master=args.master,
+                      shuffle_partitions=cfg.shuffle_partitions)
+    transcripts = spark.read.parquet(args.input)
+    result = run_pipeline(
+        spark, transcripts, cfg,
+        workdir=args.workdir, input_fingerprint=args.input,
+    )
+    members = result["members"]
+    stats = global_stats(members)
+    stats["timings_s"] = result["timings"]
+    if args.labels:
+        labels = spark.read.parquet(args.labels)
+        stats["evaluation"] = pairwise_prf(labels, result["clusters"])
+    if args.output:
+        write_report(members, args.output, fmt=args.format)
+        stats["output"] = args.output
+    else:
+        cluster_report(members).orderBy("n_members", ascending=False).show(
+            20, truncate=False
+        )
+    print(json.dumps(stats, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

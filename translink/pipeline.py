@@ -105,13 +105,21 @@ def run_pipeline(
     pairs = _stage("pairs", _build_pairs)
 
     def _build_scored() -> DataFrame:
-        payload = signed.select("conv_id", "canon_text")
+        # Shingles are computed once per conversation on the payload side of
+        # the join (O(n)), not per candidate pair (O(pairs)) — at 100TB the
+        # pair count dwarfs the record count.
+        from translink.signatures import shingles_expr
+
+        payload = signed.select("conv_id", "canon_text").withColumn(
+            "shingles", shingles_expr("canon_text", cfg.shingle_size)
+        )
         enriched = (
             pairs
             .join(
                 payload.select(
                     F.col("conv_id").alias("conv_id_a"),
                     F.col("canon_text").alias("canon_text_a"),
+                    F.col("shingles").alias("shingles_a"),
                 ),
                 "conv_id_a",
             )
@@ -119,6 +127,7 @@ def run_pipeline(
                 payload.select(
                     F.col("conv_id").alias("conv_id_b"),
                     F.col("canon_text").alias("canon_text_b"),
+                    F.col("shingles").alias("shingles_b"),
                 ),
                 "conv_id_b",
             )

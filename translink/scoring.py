@@ -77,6 +77,15 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+def jaccard_from_arrays(a: str = "shingles_a", b: str = "shingles_b"):
+    """Jaccard of two precomputed shingle-array columns. Preferred at scale:
+    shingles are computed once per record before the pair join (O(n) UDF-free
+    work) instead of four times per candidate pair (O(pairs))."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
 def token_jaccard_expr(
     a: str = "canon_text_a", b: str = "canon_text_b", n: int = 3
 ):
@@ -115,8 +124,12 @@ def score_pairs(
     """
     cfg = cfg or LinkConfig()
     exact = F.col("canon_text_a") == F.col("canon_text_b")
+    if "shingles_a" in pairs.columns and "shingles_b" in pairs.columns:
+        jac = jaccard_from_arrays()
+    else:
+        jac = token_jaccard_expr(n=cfg.shingle_size)
     scored = pairs.withColumns({
-        "token_jaccard": token_jaccard_expr(n=cfg.shingle_size),
+        "token_jaccard": jac,
         "levenshtein_sim": levenshtein_sim_expr(cfg.lev_text_cap),
     })
     if include_jaro_winkler:

@@ -34,6 +34,11 @@ def get_spark(
         builder = builder.master(master)
 
     conf = {
+        # Local mode: driver JVM hosts all executor threads — size its heap
+        # for the core count (cluster mode ignores this in favour of
+        # spark-submit's --driver-memory/--executor-memory).
+        "spark.driver.memory": os.environ.get("TRANSLINK_DRIVER_MEM", "48g"),
+        "spark.driver.maxResultSize": "4g",
         # Arrow batching for pandas UDFs (P6).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

@@ -1,0 +1,351 @@
+"""Document-corpus operators — the training-data-pipeline suite.
+
+The same cascade the engine applies to conversations, applied to a flat
+``documents(doc_id, text, lang, source, n_chars)`` corpus, plus the text
+analysis a large-scale dataset pipeline needs: exact dedup, shingle-Jaccard
+near-dup, MinHash-LSH near-dup, SimHash, language-ID, quality scoring, token
+stats, fingerprints. Everything JVM-side except the SimHash kernel (Arrow
+pandas UDF, no per-row Python crossings).
+
+These mirror the reference's content-analysis kernels: structure analysis
+H5 (``src/pipeline/quick_check.rs:333-370``) -> quality ratios; SimHash H8/H9
+(``src/pipeline/stats.rs:362-389``) -> ``doc_simhash``; Blake3 fingerprint
+H10 -> ``doc_fingerprint``; hash-and-group A1-A5 -> the dedup functions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from translink.blocking import with_salt
+from translink.config import LinkConfig
+from translink.signatures import shingles_expr, with_minhash
+
+_ID = "doc_id"
+
+
+# -- exact dedup (A1+A5 hash-and-group) ------------------------------------
+
+def doc_exact_dup_clusters(docs: DataFrame) -> DataFrame:
+    """Byte-identical documents -> (doc_id, cluster_id, group_size)."""
+    w = Window.partitionBy("text")
+    return (
+        docs.select(
+            _ID,
+            F.min(_ID).over(w).alias("cluster_id"),
+            F.count("*").over(w).alias("group_size"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
+
+
+# -- shingle-Jaccard near-dup (blocked, salted, exact verification) --------
+
+def doc_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    length_bucket: int = 64,
+    max_block_size: int = 64,
+    salt_mode: str = "rank",
+) -> DataFrame:
+    """Near-duplicate pairs by word n-gram Jaccard within (lang, length)
+    blocks. Deterministic, SQL-reproducible; the brute-force baseline the
+    LSH path is validated against."""
+    cfg = LinkConfig(max_block_size=max_block_size, salt_mode=salt_mode)
+    blocked = docs.select(
+        _ID,
+        F.concat_ws(
+            "|",
+            F.coalesce("lang", F.lit("")),
+            F.floor(F.length(F.coalesce("text", F.lit(""))) / length_bucket)
+            .cast("string"),
+        ).alias("block_key"),
+        shingles_expr("coalesce(text, '')", shingle_n).alias("shingles"),
+    )
+    salted = with_salt(blocked, ["block_key"], cfg, id_col=_ID)
+    left = salted.select(_ID, "block_key", "salt", "shingles")
+    pairs = (
+        left.alias("a")
+        .hint("MERGE")
+        .join(
+            left.alias("b"),
+            on=[
+                F.col("a.block_key") == F.col("b.block_key"),
+                F.col("a.salt") == F.col("b.salt"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            (
+                F.when(
+                    F.size(F.array_union("a.shingles", "b.shingles")) == 0, F.lit(1.0)
+                ).otherwise(
+                    F.size(F.array_intersect("a.shingles", "b.shingles"))
+                    / F.size(F.array_union("a.shingles", "b.shingles"))
+                )
+            ).alias("jaccard"),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= threshold)
+
+
+# -- MinHash-LSH near-dup (the scale path) ---------------------------------
+
+def doc_minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    cfg: LinkConfig | None = None,
+) -> DataFrame:
+    """Candidate pairs by MinHash-LSH banding, verified with exact shingle
+    Jaccard. Sub-quadratic: the self-join runs on (band_id, band_hash)
+    buckets, never on length blocks. Spark-only (hash-family not
+    reproducible in ANSI SQL); parity with doc_jaccard_pairs is asserted in
+    tests."""
+    cfg = cfg or LinkConfig()
+    named = docs.select(
+        F.col(_ID).alias("conv_id"),
+        F.coalesce("text", F.lit("")).alias("canon_text"),
+    )
+    signed = with_minhash(named, cfg).withColumn(
+        "shingles", shingles_expr("canon_text", cfg.shingle_size)
+    )
+    b, r = cfg.lsh_bands, cfg.lsh_rows
+    bands = signed.select(
+        "conv_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {b - 1}), "
+                f"i -> xxhash64(array_join(slice(minhash, i * {r} + 1, {r}), ','), i))"
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    salted = with_salt(bands, ["band_id", "band_hash"], cfg)
+    left = salted.select("conv_id", "band_id", "band_hash", "salt")
+    cand = (
+        left.alias("a")
+        .hint("MERGE")
+        .join(
+            left.alias("b"),
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.salt") == F.col("b.salt"),
+                F.col("a.conv_id") < F.col("b.conv_id"),
+            ],
+        )
+        .select(
+            F.col("a.conv_id").alias("doc_id_a"),
+            F.col("b.conv_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    sh = signed.select(F.col("conv_id"), F.col("shingles"))
+    verified = (
+        cand
+        .join(
+            sh.select(F.col("conv_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")),
+            "doc_id_a",
+        )
+        .join(
+            sh.select(F.col("conv_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a", "doc_id_b",
+            F.when(F.size(F.array_union("sh_a", "sh_b")) == 0, F.lit(1.0))
+            .otherwise(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# -- SimHash (H8/H9 analog; Arrow kernel + banded Hamming pairs) -----------
+
+def _token_hash64(token: str) -> int:
+    """Deterministic 64-bit token hash (md5 prefix, signed)."""
+    h = int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "big")
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+@pandas_udf(LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace-ish tokens; per-bit +-1 votes by token
+    hash, sign -> bit (the reference's construction,
+    src/pipeline/streaming_statistical.rs:183-213, with md5 in place of its
+    rolling multiplier)."""
+    import re
+
+    out = []
+    for text in texts:
+        toks = [t for t in re.split(r"[^a-zA-Z0-9]+", (text or "").lower()) if t]
+        if not toks:
+            out.append(0)
+            continue
+        votes = [0] * 64
+        for t in toks:
+            h = _token_hash64(t)
+            for bit in range(64):
+                votes[bit] += 1 if (h >> bit) & 1 else -1
+        v = 0
+        for bit in range(64):
+            if votes[bit] > 0:
+                v |= 1 << bit
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return pd.Series(out, dtype="int64")
+
+
+def doc_simhash(docs: DataFrame) -> DataFrame:
+    return docs.select(_ID, simhash64_udf(F.col("text")).alias("simhash"))
+
+
+def doc_simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Banding: the 64-bit hash splits into 4 x 16-bit chunks; by pigeonhole any
+    pair within Hamming distance 3 shares at least one exact chunk, so the
+    join runs on chunk buckets and the full Hamming distance verifies.
+    Exact for max_hamming <= 3; approximate (banding recall) above. Scales
+    with bucket sizes, not n^2."""
+    sh = doc_simhash(docs)
+    chunks = sh.select(
+        _ID, "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), i -> cast(shiftright(simhash, i * 16) & 65535 as int))"
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            on=[
+                F.col("a.chunk_id") == F.col("b.chunk_id"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
+# -- language ID (n-gram/stopword heuristic) -------------------------------
+
+#: Tiny per-language marker-token profiles (heuristic, deterministic).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "fast", "small", "key"],
+    "de": ["der", "und", "die", "das", "nicht", "ist"],
+    "es": ["el", "la", "los", "que", "de", "una"],
+    "fr": ["le", "les", "des", "une", "est", "dans"],
+    "zh": ["de", "shi", "bu", "le", "zai"],
+}
+
+
+def doc_langid(docs: DataFrame) -> DataFrame:
+    """Guess language by marker-token hit counts; deterministic tie-break on
+    language code. Output: (doc_id, lang_guess, lang_hits)."""
+    toks = F.array_remove(
+        F.array_distinct(F.split(F.lower(F.coalesce("text", F.lit(""))), "[^a-zA-Z0-9]+")),
+        "",
+    )
+    df = docs.select(_ID, toks.alias("_toks"))
+    hit_cols = []
+    for code in sorted(LANG_PROFILES):
+        profile = ", ".join(f"'{w}'" for w in LANG_PROFILES[code])
+        df = df.withColumn(
+            f"_h_{code}", F.size(F.array_intersect("_toks", F.expr(f"array({profile})")))
+        )
+        hit_cols.append(f"_h_{code}")
+    best = F.greatest(*[F.col(c) for c in hit_cols])
+    guess = F.lit("und")
+    # descending code order so earlier codes win ties via later when() override
+    for code in sorted(LANG_PROFILES, reverse=True):
+        guess = F.when(F.col(f"_h_{code}") == best, F.lit(code)).otherwise(guess)
+    return df.select(
+        _ID,
+        F.when(best > 0, guess).otherwise(F.lit("und")).alias("lang_guess"),
+        best.alias("lang_hits"),
+    )
+
+
+# -- quality scoring (H5 structure-analysis analog) ------------------------
+
+def doc_quality(docs: DataFrame) -> DataFrame:
+    """Length/punctuation/digit/stopword ratios + blended quality score.
+    All exact integer arithmetic -> deterministic doubles."""
+    text = F.coalesce("text", F.lit(""))
+    n = F.length(text)
+    alnum_sp = F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    digits = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    toks = F.array_remove(F.split(F.lower(text), "[^a-zA-Z0-9]+"), "")
+    n_toks = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    safe_n = F.greatest(n, F.lit(1))
+    punct_ratio = (n - alnum_sp) / safe_n
+    digit_ratio = digits / safe_n
+    uniq_ratio = n_uniq / F.greatest(n_toks, F.lit(1))
+    score = (
+        F.lit(1.0)
+        - F.least(punct_ratio * 2, F.lit(1.0)) * 0.4
+        - F.least(digit_ratio * 2, F.lit(1.0)) * 0.2
+        + (uniq_ratio - 0.5) * 0.2
+    )
+    return docs.select(
+        _ID,
+        n.cast("long").alias("n_chars_measured"),
+        n_toks.cast("long").alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        uniq_ratio.alias("uniq_token_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+# -- token stats -----------------------------------------------------------
+
+def doc_token_stats(docs: DataFrame) -> DataFrame:
+    toks = F.array_remove(F.split(F.lower(F.coalesce("text", F.lit(""))), "[^a-zA-Z0-9]+"), "")
+    return docs.select(
+        _ID,
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.expr(
+            "aggregate(array_remove(split(lower(coalesce(text, '')), '[^a-zA-Z0-9]+'), ''), "
+            "cast(0 as bigint), (acc, t) -> acc + length(t))"
+        ).alias("total_token_chars"),
+    )
+
+
+# -- fingerprints (H10/H11 analog) -----------------------------------------
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    text = F.coalesce("text", F.lit(""))
+    return docs.select(
+        _ID,
+        F.md5(text).alias("fingerprint_md5"),
+        F.substring(F.md5(text), 1, 8).alias("fingerprint_prefix"),
+        F.xxhash64(text).alias("fingerprint_xx64"),
+        F.length(text).cast("long").alias("n_chars_measured"),
+    )
