@@ -79,7 +79,12 @@ def run_pipeline(
 
     canonical = _stage("canonical", lambda: canonicalize(transcripts, cfg))
     signed = _stage(
-        "signed", lambda: with_minhash(with_exact_digest(canonical), cfg)
+        "signed",
+        # repartition: signature cost is per-row CPU; spread it over the
+        # session's full parallelism regardless of upstream byte sizes
+        lambda: with_minhash(
+            with_exact_digest(canonical), cfg, repartition=cfg.shuffle_partitions
+        ),
     )
 
     def _build_pairs() -> DataFrame:
@@ -105,21 +110,25 @@ def run_pipeline(
     pairs = _stage("pairs", _build_pairs)
 
     def _build_scored() -> DataFrame:
-        # Shingles are computed once per conversation on the payload side of
-        # the join (O(n)), not per candidate pair (O(pairs)) — at 100TB the
-        # pair count dwarfs the record count.
-        from translink.signatures import shingles_expr
+        # Pair-side similarity runs as a three-step cascade (P1, cheap to
+        # expensive), all inputs computed ONCE per conversation in the
+        # signed checkpoint and joined in as compact arrays:
+        #   1. MinHash-estimated jaccard (64 long comparisons) with a
+        #      conservative margin below the exact bound — statistical
+        #      prefilter, kills ~99% of candidate pairs;
+        #   2. exact jaccard on hashed shingles (long-array set ops);
+        #   3. Levenshtein + Jaro-Winkler only for survivors.
+        from translink.scoring import jaccard_lower_bound
 
-        payload = signed.select("conv_id", "canon_text").withColumn(
-            "shingles", shingles_expr("canon_text", cfg.shingle_size)
-        )
+        payload = signed.select("conv_id", "canon_text", "minhash", "shingle_hashes")
         enriched = (
             pairs
             .join(
                 payload.select(
                     F.col("conv_id").alias("conv_id_a"),
                     F.col("canon_text").alias("canon_text_a"),
-                    F.col("shingles").alias("shingles_a"),
+                    F.col("minhash").alias("minhash_a"),
+                    F.col("shingle_hashes").alias("shingles_a"),
                 ),
                 "conv_id_a",
             )
@@ -127,12 +136,23 @@ def run_pipeline(
                 payload.select(
                     F.col("conv_id").alias("conv_id_b"),
                     F.col("canon_text").alias("canon_text_b"),
-                    F.col("shingles").alias("shingles_b"),
+                    F.col("minhash").alias("minhash_b"),
+                    F.col("shingle_hashes").alias("shingles_b"),
                 ),
                 "conv_id_b",
             )
         )
-        return score_pairs(enriched, cfg).select(
+        est = F.expr(
+            "size(filter(zip_with(minhash_a, minhash_b, (x, y) -> x = y), v -> v))"
+            " / size(minhash_a)"
+        )
+        # margin = ~3 sigma of the k=64 MinHash estimate at the bound; pairs
+        # it drops are (with p > 0.997) below the exact bound anyway
+        bound = jaccard_lower_bound(cfg)
+        prefiltered = enriched.filter(est >= max(0.0, bound - 0.15)).drop(
+            "minhash_a", "minhash_b"
+        )
+        return score_pairs(prefiltered, cfg, cascade=True).select(
             "conv_id_a", "conv_id_b",
             "token_jaccard", "levenshtein_sim", "jaro_winkler", "score",
         )

@@ -110,10 +110,22 @@ def levenshtein_sim_expr(cap: int, a: str = "canon_text_a", b: str = "canon_text
     )
 
 
+def jaccard_lower_bound(cfg: LinkConfig, include_jaro_winkler: bool = True) -> float:
+    """Minimum token_jaccard a pair needs to possibly reach cfg.threshold,
+    assuming the other components score a perfect 1.0. Pairs below it can be
+    dropped BEFORE the expensive Levenshtein/Jaro-Winkler work without
+    changing the thresholded edge set — the reference's cheap-to-expensive
+    cascade (P1, README.md:19-47) applied inside the scorer."""
+    w_rest = cfg.w_levenshtein + (cfg.w_jaro_winkler if include_jaro_winkler else 0.0)
+    w_sum = cfg.w_jaccard + w_rest
+    return max(0.0, (cfg.threshold * w_sum - w_rest) / cfg.w_jaccard)
+
+
 def score_pairs(
     pairs: DataFrame,
     cfg: LinkConfig | None = None,
     include_jaro_winkler: bool = True,
+    cascade: bool = False,
 ) -> DataFrame:
     """Score candidate pairs; adds component columns and blended ``score``.
 
@@ -121,6 +133,12 @@ def score_pairs(
     canonical texts score 1.0 without touching the pandas UDF (the analog of
     the reference's early ``Duplicates`` termination,
     ``src/pipeline/mod.rs:92-95``).
+
+    ``cascade=True`` drops pairs whose token_jaccard already rules out
+    reaching ``cfg.threshold`` before Levenshtein/Jaro-Winkler run —
+    edge-set-equivalent to full scoring but skips the O(len^2) work for the
+    (vast) majority of candidate pairs. Use for edge generation; leave off
+    when every pair's full score is the deliverable.
     """
     cfg = cfg or LinkConfig()
     exact = F.col("canon_text_a") == F.col("canon_text_b")
@@ -128,8 +146,13 @@ def score_pairs(
         jac = jaccard_from_arrays()
     else:
         jac = token_jaccard_expr(n=cfg.shingle_size)
-    scored = pairs.withColumns({
-        "token_jaccard": jac,
+    scored = pairs.withColumn("token_jaccard", jac)
+    if cascade:
+        scored = scored.filter(
+            F.col("token_jaccard")
+            >= jaccard_lower_bound(cfg, include_jaro_winkler)
+        )
+    scored = scored.withColumns({
         "levenshtein_sim": levenshtein_sim_expr(cfg.lev_text_cap),
     })
     if include_jaro_winkler:

@@ -29,6 +29,13 @@ from translink.signatures import shingles_expr, with_minhash
 _ID = "doc_id"
 
 
+def _parallelism(df: DataFrame) -> int:
+    """Session shuffle parallelism — the right partition count for CPU-bound
+    signature stages (byte-based AQE coalescing or a single small input file
+    would otherwise serialize them)."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
 # -- exact dedup (A1+A5 hash-and-group) ------------------------------------
 
 def doc_exact_dup_clusters(docs: DataFrame) -> DataFrame:
@@ -58,7 +65,7 @@ def doc_jaccard_pairs(
     blocks. Deterministic, SQL-reproducible; the brute-force baseline the
     LSH path is validated against."""
     cfg = LinkConfig(max_block_size=max_block_size, salt_mode=salt_mode)
-    blocked = docs.select(
+    blocked = docs.repartition(_parallelism(docs)).select(
         _ID,
         F.concat_ws(
             "|",
@@ -114,9 +121,7 @@ def doc_minhash_lsh_pairs(
         F.col(_ID).alias("conv_id"),
         F.coalesce("text", F.lit("")).alias("canon_text"),
     )
-    signed = with_minhash(named, cfg).withColumn(
-        "shingles", shingles_expr("canon_text", cfg.shingle_size)
-    )
+    signed = with_minhash(named, cfg, repartition=_parallelism(docs))
     b, r = cfg.lsh_bands, cfg.lsh_rows
     bands = signed.select(
         "conv_id",
@@ -147,7 +152,9 @@ def doc_minhash_lsh_pairs(
         )
         .distinct()
     )
-    sh = signed.select(F.col("conv_id"), F.col("shingles"))
+    # verification jaccard runs on hashed shingles (long arrays) — equal to
+    # string-shingle jaccard modulo negligible 64-bit hash collisions
+    sh = signed.select(F.col("conv_id"), F.col("shingle_hashes").alias("shingles"))
     verified = (
         cand
         .join(
