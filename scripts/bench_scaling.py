@@ -43,19 +43,80 @@ def ensure_input(profile: str, path: str) -> str:
     return path
 
 
+def prepare_variants(input_path: str, n_variants: int, out_path: str) -> str:
+    """Materialize N mutually-dissimilar deterministic copies of the corpus.
+
+    Each variant prefixes EVERY whitespace token with a variant tag (one
+    codegen regexp pass — no per-token lambdas), so cross-variant texts share
+    no tokens (no spurious near-dup pairs) while within-variant duplicate
+    structure is preserved exactly. This scales the measured job linearly so
+    fixed startup (JIT, planning, CC round-trips) stops dominating the
+    scaling measurement.
+    """
+    if os.path.exists(os.path.join(out_path, "_SUCCESS")):
+        return out_path
+    from pyspark.sql import functions as F
+    from translink.session import get_spark
+
+    spark = get_spark(master="local[16]", shuffle_partitions=64,
+                      app_name="bench-variant-prep")
+    base = spark.read.parquet(input_path)
+    parts = []
+    for i in range(n_variants):
+        tag = f"w{i}"
+        parts.append(
+            base.select(
+                F.concat(F.col("conv_id"), F.lit(f"_{tag}")).alias("conv_id"),
+                "turn_idx", "role",
+                F.concat(
+                    F.lit(tag),
+                    F.regexp_replace(F.coalesce("text", F.lit("")), " ", f" {tag}"),
+                ).alias("text"),
+                "tool", "ts",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(256).write.mode("overwrite").parquet(out_path)
+    spark.stop()
+    return out_path
+
+
+def _clean_scratch() -> None:
+    """tmpfs scratch shares physical RAM with the JVM — leftovers from a
+    previous (possibly killed) run will OOM the next one."""
+    import glob
+    import shutil
+
+    for p in glob.glob("/dev/shm/translink-work-*"):
+        shutil.rmtree(p, ignore_errors=True)
+    shutil.rmtree("/dev/shm/translink-shuffle", ignore_errors=True)
+    os.makedirs("/dev/shm/translink-shuffle", exist_ok=True)
+
+
 def run_level(cores: int, input_path: str, repeat: int) -> dict:
+    _clean_scratch()
     cmd = [
         sys.executable, os.path.join(REPO, "scripts", "bench_worker.py"),
         "--cores", str(cores), "--input", input_path, "--repeat", str(repeat),
     ]
     env = dict(os.environ, PYTHONPATH=REPO)
+    env.setdefault("TRANSLINK_LOCAL_DIR", "/dev/shm/translink-shuffle")
     out = subprocess.run(
-        cmd, capture_output=True, text=True, env=env, cwd=REPO, check=True
+        cmd, capture_output=True, text=True, env=env, cwd=REPO, check=False
     )
+    _clean_scratch()
+    for line in out.stdout.splitlines():
+        if line.startswith("TIMINGS "):
+            print(f"[{cores} cores] {line}")
+        if line.startswith("RESULT "):
+            print(f"[{cores} cores] {line}")
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"no RESULT line from worker ({cores} cores):\n"
+    raise RuntimeError(f"no RESULT line from worker ({cores} cores, "
+                       f"rc={out.returncode}):\n"
                        f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
@@ -64,7 +125,9 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8, help="small parallelism level")
     ap.add_argument("--profile", default="bench",
                     help="fixture profile (tiny|small|bench)")
-    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--variants", type=int, default=12,
+                    help="scale the job by this many disjoint corpus variants")
     ap.add_argument("--input", default=None,
                     help="pre-materialized transcripts parquet (overrides profile)")
     args = ap.parse_args()
@@ -72,6 +135,11 @@ def main() -> None:
     input_path = args.input or ensure_input(
         args.profile, os.path.join(REPO, "BENCH", f"input_{args.profile}")
     )
+    if args.variants > 1:
+        input_path = prepare_variants(
+            input_path, args.variants,
+            f"/dev/shm/translink-input-x{args.variants}",
+        )
     small = run_level(args.n, input_path, args.repeat)
     large = run_level(4 * args.n, input_path, args.repeat)
     assert small["checksum"] == large["checksum"], (
@@ -94,9 +162,12 @@ def main() -> None:
 Same job (full linkage pipeline: canonicalize -> signatures -> salted
 blocking + LSH -> sort-merge candidate pairs -> JVM+Arrow scoring ->
 large-star/small-star connected components), same deterministic input
-({small['rows']} transcript rows, fixture profile `{args.profile}`,
-seed 42), run at two parallelism levels in separate JVMs. Checksums of the
-final cluster assignment are identical at both levels.
+({small['rows']} transcript rows: fixture profile `{args.profile}`, seed 42,
+scaled by {args.variants} token-disjoint variants), run at two parallelism
+levels in separate JVMs; each level reports its best of {args.repeat}
+same-JVM repeats (steady state: warm JIT, warm python workers — startup cost
+is not what the scaling criterion measures). Checksums of the final cluster
+assignment are identical at both levels.
 
 | level | cores | wall (s) | throughput (rows/s) |
 |---|---|---|---|

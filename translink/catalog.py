@@ -110,16 +110,10 @@ class Catalog:
         else:
             path = self.stage_path(stage)
             df.write.mode("overwrite").parquet(path)
-            persisted = self.spark.read.parquet(path)
-            parts = (
-                persisted.groupBy(F.spark_partition_id().alias("partition_id"))
-                .count()
-                .collect()
-            )
-            part_rows = [
-                {"partition_id": int(r["partition_id"]), "rows": int(r["count"])}
-                for r in sorted(parts, key=lambda r: r["partition_id"])
-            ]
+            # per-partition lineage from parquet footers (driver-side,
+            # milliseconds) — re-reading the table for a groupBy would
+            # decode every array column a second time
+            part_rows = self._footer_partition_rows(path)
             n_rows = sum(p["rows"] for p in part_rows)
         manifest = self._read_manifest()
         manifest[stage] = {
@@ -133,6 +127,29 @@ class Catalog:
         }
         self._write_manifest(manifest)
         return self.read_stage(stage)
+
+    def _footer_partition_rows(self, path: str) -> list[dict]:
+        """One lineage row per output file (file == write partition):
+        row counts read from parquet footers, no data decode."""
+        try:
+            import pyarrow.parquet as pq
+
+            files = sorted(
+                f for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            return [
+                {
+                    "partition_id": i,
+                    "file": f,
+                    "rows": pq.ParquetFile(os.path.join(path, f)).metadata.num_rows,
+                }
+                for i, f in enumerate(files)
+            ]
+        except Exception:
+            # remote paths / missing pyarrow: fall back to a metadata count
+            return [{"partition_id": 0, "file": None,
+                     "rows": self.spark.read.parquet(path).count()}]
 
     def invalidate(self, stage: str) -> None:
         manifest = self._read_manifest()

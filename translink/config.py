@@ -38,11 +38,20 @@ class LinkConfig:
     shingle_size: int = 3         # word n-gram shingle width
     # ---- blocking (stage 2) ---------------------------------------------
     length_bucket: int = 16       # total_chars // length_bucket blocking attr
+    # Attribute blocking acts as the SHORT-TEXT fallback in the full
+    # pipeline: conversations under this many chars have too few shingles
+    # for reliable MinHash-LSH, so they get O(block^2) attribute candidates;
+    # longer conversations rely on LSH alone (their attribute blocks would
+    # contribute mostly random pairs at quadratic cost). None = no gate.
+    attr_max_chars: int | None = 512
     lsh_bands: int = 16           # bands (rows = num_hashes // bands)
     max_block_size: int = 64      # salt fan-out bound per block (P8 skew guard)
     salt_mode: str = "hash"       # 'hash' (xxhash64(conv_id)) or 'rank' (row_number)
     # ---- scoring (stage 4) ----------------------------------------------
-    lev_text_cap: int = 512       # cap text length for O(n*m) Levenshtein
+    # cap text length for O(n*m) Levenshtein: the quadratic term dominates
+    # pair scoring (measured 67s of a 96s stage at cap=512, 63k pairs); 256
+    # chars on canonical text still spans several turns
+    lev_text_cap: int = 256
     jw_text_cap: int = 256        # cap text length for Jaro-Winkler pandas UDF
     w_jaccard: float = 0.4
     w_levenshtein: float = 0.3

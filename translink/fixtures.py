@@ -67,7 +67,7 @@ ROLES = ["user", "assistant"]
 TOOLS = ["search", "calc", "fetch"]
 BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
-PROFILE_SIZES = {"tiny": 160, "small": 4000, "bench": 80000}
+PROFILE_SIZES = {"tiny": 160, "small": 4000, "bench": 80000, "bench_xl": 320000}
 
 
 def _sentence(rng: random.Random, target_len: int) -> str:

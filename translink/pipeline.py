@@ -73,7 +73,11 @@ def run_pipeline(
                 return df
             df = cat.write_stage(name, build(), fp)
         else:
-            df = build()
+            # no durable catalog: still materialize each stage once
+            # (block-manager checkpoint) — downstream stages consume every
+            # stage 2-3x, and recomputing signature/scoring lineage per
+            # consumer would dominate the run
+            df = build().localCheckpoint(eager=True)
         timings[name] = round(time.time() - t0, 3)
         return df
 
@@ -81,15 +85,23 @@ def run_pipeline(
     signed = _stage(
         "signed",
         # repartition: signature cost is per-row CPU; spread it over the
-        # session's full parallelism regardless of upstream byte sizes
+        # session's full parallelism regardless of upstream byte sizes.
+        # shingle_hashes are NOT persisted: the corpus-wide column would be
+        # ~10x the minhash and is only needed for prefilter survivors, for
+        # whom the scored stage recomputes it (a few k rows, not the corpus)
         lambda: with_minhash(
             with_exact_digest(canonical), cfg, repartition=cfg.shuffle_partitions
-        ),
+        ).drop("shingle_hashes"),
     )
 
     def _build_pairs() -> DataFrame:
-        # Attribute blocking (A1 analog) with skew salt.
-        blocked = with_salt(with_block_key(signed, cfg), ["block_key"], cfg)
+        # Attribute blocking (A1 analog) with skew salt — gated to short
+        # conversations (cfg.attr_max_chars), where shingle statistics are
+        # too thin for LSH; long conversations are covered by the LSH path.
+        attr_side = signed
+        if cfg.attr_max_chars is not None:
+            attr_side = attr_side.filter(F.col("total_chars") <= cfg.attr_max_chars)
+        blocked = with_salt(with_block_key(attr_side, cfg), ["block_key"], cfg)
         attr_pairs = candidate_pairs(blocked, cfg, payload_cols=["digest"])
         # LSH band blocking (A4 analog).
         bands = lsh_band_keys(signed, cfg)
@@ -111,24 +123,46 @@ def run_pipeline(
 
     def _build_scored() -> DataFrame:
         # Pair-side similarity runs as a three-step cascade (P1, cheap to
-        # expensive), all inputs computed ONCE per conversation in the
-        # signed checkpoint and joined in as compact arrays:
-        #   1. MinHash-estimated jaccard (64 long comparisons) with a
-        #      conservative margin below the exact bound — statistical
-        #      prefilter, kills ~99% of candidate pairs;
+        # expensive), and the JOINS follow the cascade too — the full text /
+        # shingle payload only ever shuffles for prefilter survivors:
+        #   1. MinHash-estimated jaccard on position-tagged signatures
+        #      (native array_intersect on 64-long arrays — no per-pair
+        #      lambdas) with a conservative margin below the exact bound;
+        #      kills ~99% of candidate pairs with a 0.5KB/side payload;
         #   2. exact jaccard on hashed shingles (long-array set ops);
-        #   3. Levenshtein + Jaro-Winkler only for survivors.
+        #   3. Levenshtein + Jaro-Winkler only for remaining survivors.
         from translink.scoring import jaccard_lower_bound
 
-        payload = signed.select("conv_id", "canon_text", "minhash", "shingle_hashes")
-        enriched = (
+        # minhash_tagged (from the signature kernel) scrambles component i
+        # with its position, so positional agreement == set intersection size
+        tagged = signed.select("conv_id", F.col("minhash_tagged").alias("_mt"))
+        k = cfg.num_hashes
+        est = F.size(F.array_intersect("_mt_a", "_mt_b")) / k
+        bound = jaccard_lower_bound(cfg)
+        # margin = ~3 sigma of the k-sample MinHash estimate at the bound;
+        # pairs it drops are (p > 0.997) below the exact bound anyway
+        survivors = (
             pairs
+            .join(tagged.select(F.col("conv_id").alias("conv_id_a"),
+                                F.col("_mt").alias("_mt_a")), "conv_id_a")
+            .join(tagged.select(F.col("conv_id").alias("conv_id_b"),
+                                F.col("_mt").alias("_mt_b")), "conv_id_b")
+            .filter(est >= max(0.0, bound - 0.15))
+            .select("conv_id_a", "conv_id_b")
+        )
+        # shingle hashes are recomputed per survivor pair side (a vanishing
+        # fraction of the corpus) instead of persisting/shuffling the
+        # corpus-wide shingle column
+        from translink.signatures import make_signature_udf
+
+        sig = make_signature_udf(cfg.num_hashes, cfg.shingle_size)
+        payload = signed.select("conv_id", "canon_text")
+        enriched = (
+            survivors
             .join(
                 payload.select(
                     F.col("conv_id").alias("conv_id_a"),
                     F.col("canon_text").alias("canon_text_a"),
-                    F.col("minhash").alias("minhash_a"),
-                    F.col("shingle_hashes").alias("shingles_a"),
                 ),
                 "conv_id_a",
             )
@@ -136,23 +170,13 @@ def run_pipeline(
                 payload.select(
                     F.col("conv_id").alias("conv_id_b"),
                     F.col("canon_text").alias("canon_text_b"),
-                    F.col("minhash").alias("minhash_b"),
-                    F.col("shingle_hashes").alias("shingles_b"),
                 ),
                 "conv_id_b",
             )
+            .withColumn("shingles_a", sig(F.col("canon_text_a"))["shingle_hashes"])
+            .withColumn("shingles_b", sig(F.col("canon_text_b"))["shingle_hashes"])
         )
-        est = F.expr(
-            "size(filter(zip_with(minhash_a, minhash_b, (x, y) -> x = y), v -> v))"
-            " / size(minhash_a)"
-        )
-        # margin = ~3 sigma of the k=64 MinHash estimate at the bound; pairs
-        # it drops are (with p > 0.997) below the exact bound anyway
-        bound = jaccard_lower_bound(cfg)
-        prefiltered = enriched.filter(est >= max(0.0, bound - 0.15)).drop(
-            "minhash_a", "minhash_b"
-        )
-        return score_pairs(prefiltered, cfg, cascade=True).select(
+        return score_pairs(enriched, cfg, cascade=True).select(
             "conv_id_a", "conv_id_b",
             "token_jaccard", "levenshtein_sim", "jaro_winkler", "score",
         )

@@ -36,8 +36,18 @@ def get_spark(
     conf = {
         # Local mode: driver JVM hosts all executor threads — size its heap
         # for the core count (cluster mode ignores this in favour of
-        # spark-submit's --driver-memory/--executor-memory).
-        "spark.driver.memory": os.environ.get("TRANSLINK_DRIVER_MEM", "48g"),
+        # spark-submit's --driver-memory/--executor-memory). Deliberately
+        # moderate: measured G1 pathology at 48g on this box (canonicalize
+        # 6.6s at 16-24g vs 45s at 48g on local[32]).
+        "spark.driver.memory": os.environ.get("TRANSLINK_DRIVER_MEM", "20g"),
+        # Shuffle files default to the system temp disk; on a single box
+        # benchmarking compute scaling, one disk serializes every level of
+        # parallelism. TRANSLINK_LOCAL_DIR=/dev/shm/... puts shuffle in RAM
+        # (cluster mode: executors use their own local dirs instead).
+        **(
+            {"spark.local.dir": os.environ["TRANSLINK_LOCAL_DIR"]}
+            if "TRANSLINK_LOCAL_DIR" in os.environ else {}
+        ),
         "spark.driver.maxResultSize": "4g",
         # Arrow batching for pandas UDFs (P6).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -53,6 +63,10 @@ def get_spark(
         # Deterministic timestamps across engines.
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.shuffle.partitions": str(shuffle_partitions or 32),
+        # Checkpoint tables compress well (array columns), so byte-based
+        # split planning starves readers of tasks: 32MB splits keep
+        # decode parallelism tracking cores rather than compressed bytes.
+        "spark.sql.files.maxPartitionBytes": "33554432",
         "spark.ui.showConsoleProgress": "false",
     }
     if extra_conf:

@@ -74,49 +74,80 @@ def with_exact_digest(canonical: DataFrame) -> DataFrame:
 
 
 def make_signature_udf(k: int, n: int, seed: int = 42):
-    """Arrow-batched signature kernel: token-hash array -> (shingle_hashes,
-    minhash), fully vectorized across the batch.
+    """Arrow-batched signature kernel: canonical text -> (shingle_hashes,
+    minhash), vectorized across the batch.
 
-    Avoids materializing shingle STRINGS entirely (building them with
-    slice+array_join higher-order expressions is interpreted JVM work and
-    dominates the signature stage ~30:1). Instead each word n-gram is hashed
-    numerically: s_i = C1*h_i + C2*h_{i+1} + ... (wrapped int64, odd
-    constants — injective per position whp), deduplicated per row, then the
-    k-permutation multiply-shift MinHash runs over the deduped shingle-hash
-    sets. Rows with fewer than n tokens contribute one truncated shingle
-    (same semantics as shingles_expr); empty rows get sentinel [0]*k.
+    Everything per-token/per-shingle happens here, NOT in SQL expressions:
+    even a single-level ``transform(tokens, t -> xxhash64(t))`` runs
+    interpreted (~5us/token — 47M tokens at bench scale = 30s+), while this
+    kernel tokenizes with C regex, hashes all tokens in one C-vectorized
+    pass (pandas siphash via ``pd.util.hash_array``, deterministic fixed
+    key), combines word n-grams numerically (s_i = C1*h_i + C2*h_{i+1} + ...,
+    wrapped int64, odd constants), dedups per row, and runs the
+    k-permutation multiply-shift MinHash with one ``minimum.reduceat`` pass
+    per permutation.
+
+    Rows with fewer than n tokens contribute one truncated shingle (same
+    semantics as shingles_expr); empty rows get sentinel minhash [0]*k.
     """
+    import re
+
     rng = np.random.default_rng(seed ^ 0x5EED)
     C = ((rng.integers(1, 1 << 62, size=n).astype(np.int64)) << np.int64(1)) | np.int64(1)
     rng2 = np.random.default_rng(seed)
     A = ((rng2.integers(1, 1 << 62, size=k).astype(np.int64)) << np.int64(1)) | np.int64(1)
     B = rng2.integers(0, 1 << 62, size=k).astype(np.int64)
+    pat = re.compile(TOKENIZE_PATTERN)
 
     from pyspark.sql.types import StructField, StructType
 
     out_type = StructType([
         StructField("shingle_hashes", ArrayType(LongType()), False),
         StructField("minhash", ArrayType(LongType()), False),
+        # position-tagged minhash: component i scrambled with i, so
+        # positional agreement between two signatures == set-intersection
+        # size (native array_intersect, no per-pair lambdas)
+        StructField("minhash_tagged", ArrayType(LongType()), False),
     ])
+    TAG_A = np.int64(-8056529492539294021)  # odd multiplier
+    TAG_I = (np.arange(k, dtype=np.int64) + np.int64(1)) * np.int64(5871781006564002453)
 
     @pandas_udf(out_type)
-    def signature_kernel(col: pd.Series) -> pd.DataFrame:
-        sh_out: list = []
+    def signature_kernel(texts: pd.Series) -> pd.DataFrame:
+        # tokenize (C regex) and flatten the batch's tokens into one array
+        tok_lists = [
+            [w for w in pat.split((t or "").lower()) if w] for t in texts
+        ]
+        tlens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                            count=len(tok_lists))
+        total = int(tlens.sum())
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for toks in tok_lists:
+            flat[pos: pos + len(toks)] = toks
+            pos += len(toks)
+        # one C-vectorized deterministic hash pass over every token
+        TH = (pd.util.hash_array(flat).view(np.int64)
+              if total else np.empty(0, np.int64))
+        # per-row n-gram combination + dedup
         rows_sh: list = []
-        for a in col:
-            h = np.asarray(a, dtype=np.int64) if a is not None else np.empty(0, np.int64)
-            if len(h) == 0:
+        pos = 0
+        for ln in tlens:
+            h = TH[pos: pos + ln]
+            pos += ln
+            if ln == 0:
                 rows_sh.append(np.empty(0, np.int64))
-                continue
-            if len(h) <= n:
-                s = np.array([int((C[: len(h)] * h).sum(dtype=np.int64))], dtype=np.int64)
+            elif ln <= n:
+                rows_sh.append(np.array(
+                    [int((C[:ln] * h).sum(dtype=np.int64))], dtype=np.int64))
             else:
-                m = len(h) - n + 1
+                m = int(ln) - n + 1
                 s = np.zeros(m, dtype=np.int64)
                 for j in range(n):
                     s += C[j] * h[j: j + m]
-            rows_sh.append(np.unique(s))
-        lens = np.array([len(s) for s in rows_sh], dtype=np.int64)
+                rows_sh.append(np.unique(s))
+        lens = np.fromiter((len(s) for s in rows_sh), dtype=np.int64,
+                           count=len(rows_sh))
         nonempty = lens > 0
         mh = np.zeros((len(rows_sh), k), dtype=np.int64)
         if nonempty.any():
@@ -125,12 +156,33 @@ def make_signature_udf(k: int, n: int, seed: int = 42):
             starts = np.zeros(len(ne_lens), dtype=np.int64)
             np.cumsum(ne_lens[:-1], out=starts[1:])
             sub = np.empty((len(ne_lens), k), dtype=np.int64)
-            for i in range(k):
-                sub[:, i] = np.minimum.reduceat(A[i] * H + B[i], starts)
+            # cache-blocked: process ~100k shingles per chunk so the k
+            # permutation passes read L2-resident data — the naive loop
+            # streams the whole batch from DRAM k times and saturates
+            # memory bandwidth (the stage then stops scaling with cores)
+            CHUNK = 100_000
+            n_rows_ne = len(ne_lens)
+            r0 = 0
+            while r0 < n_rows_ne:
+                r1 = r0
+                s0 = int(starts[r0])
+                end = s0
+                while r1 < n_rows_ne and (end - s0) < CHUNK:
+                    end = int(starts[r1] + ne_lens[r1])
+                    r1 += 1
+                Hc = H[s0:end]
+                st = starts[r0:r1] - s0
+                for i in range(k):
+                    sub[r0:r1, i] = np.minimum.reduceat(A[i] * Hc + B[i], st)
+                r0 = r1
             mh[nonempty] = sub
+        tagged = mh * TAG_A + TAG_I  # wraps mod 2^64; bijective per position
+        # numpy arrays go straight to Arrow (list-of-ndarray fast path);
+        # .tolist() boxing would cost more than the whole minhash computation
         return pd.DataFrame({
-            "shingle_hashes": [s.tolist() for s in rows_sh],
+            "shingle_hashes": rows_sh,
             "minhash": list(mh),
+            "minhash_tagged": list(tagged),
         })
 
     return signature_kernel
@@ -205,19 +257,17 @@ def with_minhash(
         canonical = canonical.repartition(repartition)
     k = cfg.num_hashes
     if method == "arrow":
-        # token hashing stays JVM-side (one flat transform — cheap); shingle
-        # construction + dedup + k-permutation minhash run in one numpy
-        # kernel per Arrow batch (no shingle strings ever materialize)
-        token_hashes = F.expr(
-            f"transform(array_remove(split(lower(canon_text), "
-            f"'{TOKENIZE_PATTERN}'), ''), t -> xxhash64(t))"
-        )
+        # tokenization, token hashing, shingle construction, dedup and the
+        # k-permutation minhash all run in ONE numpy kernel per Arrow batch
+        # (even single-level lambda expressions are interpreted JVM-side and
+        # lose to the kernel ~30:1 at corpus scale; see PLANS.md)
         sig = make_signature_udf(k, cfg.shingle_size)
         return (
             canonical
-            .withColumn("_sig", sig(token_hashes))
+            .withColumn("_sig", sig(F.col("canon_text")))
             .withColumn("shingle_hashes", F.col("_sig.shingle_hashes"))
             .withColumn("minhash", F.col("_sig.minhash"))
+            .withColumn("minhash_tagged", F.col("_sig.minhash_tagged"))
             .drop("_sig")
         )
     base = (
@@ -234,7 +284,9 @@ def with_minhash(
         f"else transform(sequence(0, {k - 1}), "
         f"i -> array_min(transform(shingle_hashes, h -> xxhash64(h, i)))) end"
     )
-    return base.withColumn("minhash", F.expr(expr))
+    return base.withColumn("minhash", F.expr(expr)).withColumn(
+        "minhash_tagged", F.expr("transform(minhash, (v, i) -> xxhash64(v, i))")
+    )
 
 
 def minhash_jaccard_expr(a: str = "a.minhash", b: str = "b.minhash"):
