@@ -197,6 +197,28 @@ def _spark_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_pairs(pairs, CFG, include_jaro_winkler=False)
 
 
+def _spark_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-blocked edges + exact star edges -> large-star/small-star
+    CC -> every conversation labeled (the oracle-checkable cluster slice)."""
+    from translink.clustering import clusters_with_singletons, connected_components
+
+    scored = _spark_scored_pairs(spark, sf_dir)
+    sim_edges = scored.filter(F.col("score") >= CFG.threshold).select(
+        F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
+    )
+    c = _spark_canonical(spark, sf_dir)
+    w = Window.partitionBy(F.md5("canon_text"))
+    star = (
+        c.select(
+            F.min("conv_id").over(w).alias("src"),
+            F.col("conv_id").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    comps = connected_components(sim_edges.union(star), CFG)
+    return clusters_with_singletons(c.select("conv_id"), comps)
+
+
 _SCORE_SQL = f"""
 scored AS (
   SELECT conv_id_a, conv_id_b,
@@ -310,26 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # thing under test is the large-star/small-star CC operator itself
     # against DuckDB's recursive-CTE transitive closure. The full engine
     # (LSH + Jaro-Winkler) is exercised by entry() and the pytest F1 gate.
-    def q_clusters(spark, sf_dir):
-        from translink.clustering import (
-            clusters_with_singletons, connected_components,
-        )
-        scored = _spark_scored_pairs(spark, sf_dir)
-        sim_edges = scored.filter(F.col("score") >= CFG.threshold).select(
-            F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
-        )
-        c = _spark_canonical(spark, sf_dir)
-        w = Window.partitionBy(F.md5("canon_text"))
-        star = (
-            c.select(
-                F.min("conv_id").over(w).alias("src"),
-                F.col("conv_id").alias("dst"),
-            )
-            .filter(F.col("src") != F.col("dst"))
-        )
-        comps = connected_components(sim_edges.union(star), CFG)
-        return clusters_with_singletons(c.select("conv_id"), comps)
-    q["clusters"] = q_clusters
+    q["clusters"] = _spark_clusters
 
     # -- q08: primary election (C3, O1 recency sort) ----------------------
     def q_primary(spark, sf_dir):
@@ -383,6 +386,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["min_turns_filter"] = q_minturns
 
+    # -- q21: remove-mode keep list (OperationMode::Remove analog,
+    #          reference src/config.rs:41-47 + src/report/mod.rs:53-65) ----
+    def q_keep_list(spark, sf_dir):
+        """The deduplicated dataset: one primary (newest, conv_id tie-break)
+        per exact cluster, singletons included — the md5-path mirror of
+        translink.report.deduplicate()."""
+        c = with_exact_digest(_spark_canonical(spark, sf_dir))
+        w = Window.partitionBy("digest_md5")
+        wrank = Window.partitionBy("digest_md5").orderBy(
+            F.col("max_ts").desc(), F.col("conv_id").asc()
+        )
+        return (
+            c.select(
+                "conv_id",
+                F.min("conv_id").over(w).alias("cluster_id"),
+                F.count("*").over(w).alias("group_size"),
+                F.row_number().over(wrank).alias("rk"),
+            )
+            .filter(F.col("rk") == 1)
+            .select("conv_id", "cluster_id", "group_size")
+        )
+    q["dedup_keep_list"] = q_keep_list
+
+    # -- q22: per-cluster mean pair similarity (H14 group score,
+    #          reference src/pipeline/streaming_hash.rs:256-313) -----------
+    def q_cluster_similarity(spark, sf_dir):
+        """cluster_report's mean_similarity column over the oracle-checkable
+        cluster slice: deterministic sorted-fold mean of intra-cluster
+        scored pairs; pure exact clusters -> 1.0."""
+        from translink.clustering import (
+            clusters_with_singletons, connected_components,
+        )
+        # scored pairs feed BOTH the cluster edges and the per-cluster mean;
+        # checkpoint once instead of recomputing the scoring lineage twice
+        scored = _spark_scored_pairs(spark, sf_dir).select(
+            "conv_id_a", "conv_id_b", "score"
+        ).localCheckpoint(eager=True)
+        sim_edges = scored.filter(F.col("score") >= CFG.threshold).select(
+            F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
+        )
+        c = _spark_canonical(spark, sf_dir)
+        wmd5 = Window.partitionBy(F.md5("canon_text"))
+        star = (
+            c.select(
+                F.min("conv_id").over(wmd5).alias("src"),
+                F.col("conv_id").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        comps = connected_components(sim_edges.union(star), CFG)
+        cl = clusters_with_singletons(c.select("conv_id"), comps)
+        sizes = cl.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+        intra = (
+            scored
+            .join(cl.withColumnRenamed("conv_id", "conv_id_a"), "conv_id_a")
+            .join(
+                cl.select(F.col("conv_id").alias("conv_id_b"),
+                          F.col("cluster_id").alias("_cb")),
+                "conv_id_b",
+            )
+            .filter(F.col("cluster_id") == F.col("_cb"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list("score")).alias("_s"))
+            .select(
+                "cluster_id",
+                F.round(
+                    F.expr("aggregate(_s, cast(0.0 as double), (acc, v) -> acc + v)")
+                    / F.size("_s"),
+                    9,
+                ).alias("mean_similarity"),
+            )
+        )
+        return (
+            sizes.filter(F.col("n_members") >= 2)
+            .join(intra, "cluster_id", "left")
+            .select(
+                "cluster_id", "n_members",
+                F.coalesce("mean_similarity", F.lit(1.0)).alias("mean_similarity"),
+            )
+        )
+    q["cluster_similarity"] = q_cluster_similarity
+
     # ===== documents-table training-data ops (SURVEY §2.3 kernels) =======
 
     def _docs(spark, sf_dir):
@@ -403,10 +488,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- q13: blocked shingle-Jaccard near-dup pairs ----------------------
     def q_doc_jaccard(spark, sf_dir):
         from translink.textops import doc_jaccard_pairs
+        # method='expr': string shingles, bit-for-bit reproducible in the
+        # DuckDB oracle; the public default is the hashed-shingle Arrow
+        # kernel (same Jaccard values, ~15x faster — benched separately).
         return doc_jaccard_pairs(
-            _docs(spark, sf_dir), threshold=0.5, salt_mode="rank"
+            _docs(spark, sf_dir), threshold=0.5, salt_mode="rank", method="expr"
         )
     q["doc_jaccard_pairs"] = q_doc_jaccard
+
+    # -- q13b: hashed-shingle Jaccard (the Arrow fast path; same values as
+    #          doc_jaccard_pairs modulo negligible 64-bit collisions) ------
+    def q_doc_jaccard_fast(spark, sf_dir):
+        from translink.textops import doc_jaccard_pairs
+        return doc_jaccard_pairs(
+            _docs(spark, sf_dir), threshold=0.5, salt_mode="rank", method="arrow"
+        )
+    q["doc_jaccard_pairs_fast"] = q_doc_jaccard_fast
+
+    # -- q23: entropy + char-class histogram (H6/H7,
+    #          reference src/pipeline/stats.rs:353-359 + :156-183) ---------
+    def q_doc_entropy(spark, sf_dir):
+        from translink.textops import doc_entropy
+        return doc_entropy(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    q["doc_entropy"] = q_doc_entropy
 
     # -- q14: language-ID heuristic (H4 MIME-detection analog) ------------
     def q_langid(spark, sf_dir):
@@ -640,6 +744,68 @@ WITH {_TRANSCRIPTS_SQL}
 SELECT conv_id, n_turns FROM canonical WHERE n_turns >= 4
 """
 
+    o["dedup_keep_list"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+m AS (
+  SELECT conv_id,
+         min(conv_id) OVER (PARTITION BY canon_text) AS cluster_id,
+         CAST(count(*) OVER (PARTITION BY canon_text) AS BIGINT) AS group_size,
+         row_number() OVER (PARTITION BY canon_text
+                            ORDER BY max_ts DESC, conv_id ASC) AS rk
+  FROM canonical
+)
+SELECT conv_id, cluster_id, group_size FROM m WHERE rk = 1
+"""
+
+    o["cluster_similarity"] = f"""
+WITH RECURSIVE {_TRANSCRIPTS_SQL}, {_BLOCKED_SQL}, {_SCORE_SQL},
+sim_edges AS (
+  SELECT conv_id_a AS src, conv_id_b AS dst
+  FROM scored_final WHERE score >= {CFG.threshold}
+),
+exact_star AS (
+  SELECT r.src, r.dst FROM (
+    SELECT min(conv_id) OVER (PARTITION BY canon_text) AS src, conv_id AS dst
+    FROM canonical
+  ) r WHERE r.src <> r.dst
+),
+all_edges AS (
+  SELECT src, dst FROM sim_edges
+  UNION
+  SELECT src, dst FROM exact_star
+),
+sym AS (
+  SELECT src, dst FROM all_edges
+  UNION
+  SELECT dst, src FROM all_edges
+),
+reach(a, b) AS (
+  SELECT conv_id, conv_id FROM canonical
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src
+),
+clusters AS (
+  SELECT a AS conv_id, min(b) AS cluster_id FROM reach GROUP BY a
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM clusters GROUP BY cluster_id
+),
+intra AS (
+  SELECT ca.cluster_id,
+         round(list_sum(list_sort(list(s.score))) / count(*), 9) AS mean_similarity
+  FROM scored_final s
+  JOIN clusters ca ON s.conv_id_a = ca.conv_id
+  JOIN clusters cb ON s.conv_id_b = cb.conv_id
+   AND ca.cluster_id = cb.cluster_id
+  GROUP BY ca.cluster_id
+)
+SELECT z.cluster_id, z.n_members,
+       coalesce(i.mean_similarity, 1.0) AS mean_similarity
+FROM sizes z LEFT JOIN intra i ON z.cluster_id = i.cluster_id
+WHERE z.n_members >= 2
+"""
+
     docs_cte = """
 docs_planted AS (
   SELECT doc_id, text, lang, source, n_chars FROM documents
@@ -713,6 +879,47 @@ SELECT doc_id,
        CASE WHEN {best} > 0 THEN {guess_case} ELSE 'und' END AS lang_guess,
        {best} AS lang_hits
 FROM h
+"""
+
+    # identical SQL to doc_jaccard_pairs: the Arrow hashed-shingle kernel
+    # preserves set sizes (hence the exact Jaccard doubles) modulo 64-bit
+    # collisions, so the string-shingle oracle checks it directly
+    o["doc_jaccard_pairs_fast"] = o["doc_jaccard_pairs"]
+
+    o["doc_entropy"] = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS txt FROM documents
+),
+classes AS (
+  SELECT doc_id,
+         CAST(length(txt) AS BIGINT) AS n_chars_measured,
+         CAST(length(regexp_replace(txt, '[^a-z]', '', 'g')) AS BIGINT) AS n_lower,
+         CAST(length(regexp_replace(txt, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+         CAST(length(regexp_replace(txt, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         CAST(length(regexp_replace(txt, '[^ \t\n]', '', 'g')) AS BIGINT) AS n_space,
+         CAST(length(regexp_replace(txt, '[^!-/:-@\\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct
+  FROM base
+),
+chars AS (
+  SELECT doc_id, unnest(string_split_regex(txt, '')) AS ch FROM base
+),
+cc AS (
+  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+),
+ent AS (
+  SELECT doc_id,
+         round(log2(sum(c))
+               - list_sum(list_transform(list(c ORDER BY ch), x -> x * log2(x)))
+                 / sum(c), 9) AS entropy_bits
+  FROM cc GROUP BY doc_id
+)
+SELECT k.doc_id, k.n_chars_measured, k.n_lower, k.n_upper, k.n_digit,
+       k.n_space, k.n_punct,
+       k.n_chars_measured - k.n_lower - k.n_upper - k.n_digit - k.n_space
+         - k.n_punct AS n_other,
+       coalesce(e.entropy_bits, 0.0) AS entropy_bits
+FROM classes k LEFT JOIN ent e ON k.doc_id = e.doc_id
 """
 
     o["doc_quality"] = """

@@ -35,6 +35,10 @@ BENCH_QUERIES = [
     "pair_scores",
     "doc_minhash_lsh_pairs",
     "doc_jaccard_pairs",
+    "doc_jaccard_pairs_fast",
+    "doc_simhash_pairs",
+    "doc_entropy",
+    "dedup_keep_list",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
     "event_exact_dedup",

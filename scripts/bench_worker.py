@@ -70,6 +70,7 @@ def main() -> None:
                 "checksum": int(agg["checksum"] or 0),
                 "wall_s": round(wall, 3),
                 "rows_per_s": round(n_rows / wall, 1),
+                "timings": result["timings"],
             }
     print("RESULT " + json.dumps(best))
 

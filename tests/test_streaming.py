@@ -58,6 +58,89 @@ def test_incremental_signature_stream(spark, tiny, tmp_path):
     assert ec.filter(F.col("conv_id").startswith("hot_")).count() >= 20
 
 
+def test_split_conversation_repaired_at_read(spark, tiny, tmp_path):
+    """A conversation whose turns arrive across two drops must read back
+    with the FULL canonical text — per-batch partial signatures are
+    discarded and the conversation is re-canonicalized from the turn store."""
+    landing = str(tmp_path / "landing3")
+    store = str(tmp_path / "store3")
+    ckpt = str(tmp_path / "ckpt3")
+    os.makedirs(landing)
+    t = tiny["transcripts"]
+    victim = "conv_000000"
+    # drop 0: victim's first half + some whole conversations
+    first = t.filter(
+        (F.col("conv_id") == victim) & (F.col("turn_idx") < 2)
+        | (F.col("conv_id") == "conv_000001")
+    )
+    second = t.filter((F.col("conv_id") == victim) & (F.col("turn_idx") >= 2))
+    first.coalesce(1).write.parquet(os.path.join(landing, "d0"))
+    q = incremental_signatures(
+        spark, os.path.join(landing, "*"), store, ckpt, available_now=True
+    )
+    q.awaitTermination(300)
+    second.coalesce(1).write.parquet(os.path.join(landing, "d1"))
+    q2 = incremental_signatures(
+        spark, os.path.join(landing, "*"), store, ckpt, available_now=True
+    )
+    q2.awaitTermination(300)
+
+    signed = read_signature_store(spark, store)
+    assert signed.filter(F.col("conv_id") == victim).count() == 1
+    # digest equals the batch-mode digest over the WHOLE conversation
+    from translink.canonicalize import canonicalize
+    from translink.signatures import with_exact_digest
+
+    batch = with_exact_digest(
+        canonicalize(t.filter(F.col("conv_id") == victim), LinkConfig())
+    ).first()
+    streamed = signed.filter(F.col("conv_id") == victim).first()
+    assert streamed["digest_md5"] == batch["digest_md5"]
+    assert streamed["n_turns"] == batch["n_turns"]
+
+
+def test_incremental_recluster_matches_batch(spark, tiny, tmp_path):
+    """Two drops + affected-component re-clustering == one-shot batch
+    clustering over the merged corpus (byte-identical labels)."""
+    from translink.canonicalize import canonicalize
+    from translink.clustering import (
+        clusters_with_singletons, connected_components, exact_edges,
+    )
+    from translink.pipeline import run_pipeline
+    from translink.signatures import with_exact_digest, with_minhash
+    from translink.streaming.incremental import recluster_incremental
+
+    cfg = LinkConfig()
+    # the equivalence contract holds when no block overflows max_block_size
+    # (see recluster_incremental docstring) — drop the planted hot-key rows,
+    # whose size-dependent salting is deliberately run-dependent
+    t = tiny["transcripts"].filter(~F.col("conv_id").startswith("hot_"))
+    convs = sorted(r["conv_id"] for r in t.select("conv_id").distinct().collect())
+    # 70/30 split: old corpus, then a drop of new conversations
+    cut = int(len(convs) * 0.7)
+    old_ids, new_ids = set(convs[:cut]), set(convs[cut:])
+    old_t = t.filter(F.col("conv_id").isin(list(old_ids)))
+
+    prev = run_pipeline(spark, old_t, cfg)["clusters"]
+    signed_all = with_minhash(with_exact_digest(canonicalize(t, cfg)), cfg) \
+        .localCheckpoint(eager=True)
+    new_df = spark.createDataFrame(
+        [(c,) for c in sorted(new_ids)], "conv_id string"
+    )
+    inc = recluster_incremental(spark, signed_all, prev, new_df, cfg)
+
+    batch = run_pipeline(spark, t, cfg)["clusters"]
+    diff = (
+        inc.withColumnRenamed("cluster_id", "inc_cl")
+        .join(batch, "conv_id", "full")
+        .filter(
+            F.col("inc_cl").isNull() | F.col("cluster_id").isNull()
+            | (F.col("inc_cl") != F.col("cluster_id"))
+        )
+    )
+    assert diff.count() == 0, diff.limit(20).collect()
+
+
 def test_stream_is_incremental(spark, tiny, tmp_path):
     """A second drain with one new file only processes the new file."""
     landing = str(tmp_path / "landing2")

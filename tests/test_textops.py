@@ -85,6 +85,37 @@ def test_simhash_pairs(spark, docs):
     assert (0, 5) not in got
 
 
+def test_entropy_ordering(spark):
+    """Uniform character distribution has maximal entropy; repetitive text
+    lower; single-symbol zero (the reference's entropy tests,
+    src/pipeline/stats.rs:419-431 / tests/phase4_test.rs:210-238)."""
+    from translink.textops import doc_entropy
+
+    rows = [
+        (0, "abcdefgh"),       # 8 distinct chars, uniform -> 3 bits
+        (1, "aaaaaaab"),       # skewed
+        (2, "aaaaaaaa"),       # single symbol -> 0
+        (3, ""),               # empty -> 0
+        (4, "aAbB 12!"),       # class histogram check
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in doc_entropy(df).collect()}
+    assert abs(got[0]["entropy_bits"] - 3.0) < 1e-9
+    assert got[0]["entropy_bits"] > got[1]["entropy_bits"] > got[2]["entropy_bits"]
+    assert got[2]["entropy_bits"] == 0.0
+    assert got[3]["entropy_bits"] == 0.0
+    r4 = got[4]
+    assert (r4["n_lower"], r4["n_upper"], r4["n_digit"],
+            r4["n_space"], r4["n_punct"], r4["n_other"]) == (2, 2, 2, 1, 1, 0)
+    # histogram classes partition the text exactly
+    for r in got.values():
+        assert (r["n_lower"] + r["n_upper"] + r["n_digit"] + r["n_space"]
+                + r["n_punct"] + r["n_other"]) == r["n_chars_measured"]
+
+
 def test_langid(spark, docs):
     got = {r["doc_id"]: r["lang_guess"] for r in doc_langid(docs).collect()}
     assert got[0] == "en"

@@ -15,12 +15,41 @@ idempotence guards: records already enriched are not recomputed,
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def input_content_fingerprint(spark: SparkSession, path: str) -> str:
+    """Content fingerprint of an input path: digest of the sorted file
+    listing with sizes and modification times (Hadoop FS, so local / HDFS /
+    s3a all work). Used as the pipeline's ``input_fingerprint`` so resume
+    detects an input OVERWRITTEN at the same path — a path-string
+    fingerprint would silently reuse every checkpointed stage and return
+    clusters computed from the old data. For Iceberg tables, the snapshot id
+    plays this role instead."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    entries = []
+    if fs.exists(p):
+        it = fs.listFiles(p, True) if fs.getFileStatus(p).isDirectory() else None
+        if it is None:
+            st = fs.getFileStatus(p)
+            entries.append(f"{st.getPath()}|{st.getLen()}|{st.getModificationTime()}")
+        else:
+            while it.hasNext():
+                st = it.next()
+                entries.append(
+                    f"{st.getPath()}|{st.getLen()}|{st.getModificationTime()}"
+                )
+    entries.sort()
+    return hashlib.md5("\n".join(entries).encode()).hexdigest()[:16]
 
 
 class Catalog:
@@ -55,7 +84,31 @@ class Catalog:
     def manifest_path(self) -> str:
         return os.path.join(self.root, self.MANIFEST)
 
+    def _hadoop_fs(self):
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(self.manifest_path)
+        return jvm, path.getFileSystem(conf), path
+
     def _read_manifest(self) -> dict:
+        if self._is_remote():
+            # manifest IO must go through the Hadoop FileSystem API on
+            # HDFS/s3a roots — local open() would raise after the stage
+            # parquet was already persisted, leaving data without lineage
+            try:
+                jvm, fs, path = self._hadoop_fs()
+                if not fs.exists(path):
+                    return {}
+                stream = fs.open(path)
+                try:
+                    data = bytes(
+                        jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                    )
+                finally:
+                    stream.close()
+                return json.loads(data.decode())
+            except Exception:
+                return {}
         try:
             with open(self.manifest_path) as fh:
                 return json.load(fh)
@@ -63,6 +116,20 @@ class Catalog:
             return {}
 
     def _write_manifest(self, manifest: dict) -> None:
+        payload = json.dumps(manifest, indent=2, sort_keys=True)
+        if self._is_remote():
+            jvm, fs, path = self._hadoop_fs()
+            tmp = jvm.org.apache.hadoop.fs.Path(self.manifest_path + ".tmp")
+            out = fs.create(tmp, True)
+            try:
+                out.write(bytearray(payload.encode()))
+            finally:
+                out.close()
+            # rename is atomic on HDFS; best-effort replace elsewhere
+            if fs.exists(path):
+                fs.delete(path, False)
+            fs.rename(tmp, path)
+            return
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=2, sort_keys=True)

@@ -34,6 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint/lineage directory (enables resume)")
     p.add_argument("--output", default=None, help="report output path")
     p.add_argument("--format", choices=["json", "csv", "text"], default="json")
+    p.add_argument("--mode", choices=["report", "remove"], default="report",
+                   help="report: describe duplicate groups; remove: write "
+                        "the deduplicated dataset (one primary per cluster) "
+                        "to --output (reference OperationMode, "
+                        "src/config.rs:41-47)")
+    p.add_argument("--config", default=None,
+                   help="YAML config file (translink.config.load_config)")
     p.add_argument("--profile", choices=sorted(PROFILES), default="standard")
     p.add_argument("--threshold", type=float, default=None)
     p.add_argument("--min-turns", type=int, default=None)
@@ -48,7 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
 def config_from_args(args) -> LinkConfig:
     import dataclasses
 
-    cfg = PROFILES[args.profile]
+    from translink.config import load_config
+
+    # precedence (low -> high): profile preset, YAML file, TRANSLINK_* env,
+    # explicit CLI flags — the reference's file-then-env order
+    # (src/config.rs:64-105) with CLI on top.
+    cfg = load_config(path=args.config, base=PROFILES[args.profile])
     overrides = {}
     if args.threshold is not None:
         overrides["threshold"] = args.threshold
@@ -56,7 +68,8 @@ def config_from_args(args) -> LinkConfig:
         overrides["min_turns"] = args.min_turns
     if args.max_block_size is not None:
         overrides["max_block_size"] = args.max_block_size
-    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+    cfg = dataclasses.replace(cfg, **overrides) if overrides else cfg
+    return cfg.validate()
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -65,9 +78,15 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(master=args.master,
                       shuffle_partitions=cfg.shuffle_partitions)
     transcripts = spark.read.parquet(args.input)
+    # Resume keys on input CONTENT (file listing + sizes + mtimes), not the
+    # path string: overwriting the input at the same path must invalidate
+    # checkpointed stages instead of silently returning stale clusters.
+    from translink.catalog import input_content_fingerprint
+
     result = run_pipeline(
         spark, transcripts, cfg,
-        workdir=args.workdir, input_fingerprint=args.input,
+        workdir=args.workdir,
+        input_fingerprint=input_content_fingerprint(spark, args.input),
     )
     members = result["members"]
     stats = global_stats(members)
@@ -75,7 +94,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.labels:
         labels = spark.read.parquet(args.labels)
         stats["evaluation"] = pairwise_prf(labels, result["clusters"])
-    if args.output:
+    if args.mode == "remove":
+        if not args.output:
+            raise SystemExit("--mode remove requires --output")
+        from translink.report import deduplicate
+
+        kept = deduplicate(members).select(
+            "conv_id", "cluster_id", "n_turns", "total_chars", "max_ts"
+        )
+        kept.write.mode("overwrite").parquet(args.output)
+        stats["output"] = args.output
+        stats["kept"] = stats["n_clusters"]
+    elif args.output:
         write_report(members, args.output, fmt=args.format)
         stats["output"] = args.output
     else:

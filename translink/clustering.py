@@ -125,12 +125,24 @@ def connected_components(
         return (row["n"], row["h"])
 
     prev = _sig(e)
+    converged = False
     for _ in range(cfg.cc_max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _sig(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # A non-converged edge set yields labels that are not component
+        # minima — a silently wrong, non-transitive clustering. Fail loudly:
+        # callers either raise cc_max_iterations (convergence is O(log^2 n)
+        # rounds, so 50 covers any realistic graph) or fix the input.
+        raise RuntimeError(
+            f"connected_components did not reach the edge-set fixed point "
+            f"within cc_max_iterations={cfg.cc_max_iterations} rounds; "
+            f"raising the limit is safe (each round is 2 shuffles)"
+        )
     # Fixed point of small-star: every edge points node -> component min.
     members = e.select(F.col("u").alias("conv_id"), F.col("v").alias("cluster_id"))
     roots = e.select(F.col("v").alias("conv_id"), F.col("v").alias("cluster_id")).distinct()

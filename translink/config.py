@@ -65,6 +65,30 @@ class LinkConfig:
     shuffle_partitions: int = 32
     arrow_batch_size: int = 10_000
 
+    def validate(self) -> "LinkConfig":
+        """Reject invalid knob combinations at startup (the reference
+        validates thresholds and rejects out-of-range values,
+        ``src/config.rs:64-105``, ``tests/config_test.rs:5-18``)."""
+        if not (0.0 <= self.threshold <= 1.0):
+            raise ValueError(f"threshold must be in [0, 1], got {self.threshold}")
+        if self.num_hashes <= 0 or self.num_hashes % self.lsh_bands:
+            raise ValueError(
+                f"num_hashes ({self.num_hashes}) must be a positive multiple "
+                f"of lsh_bands ({self.lsh_bands})"
+            )
+        if self.max_block_size < 2:
+            raise ValueError("max_block_size must be >= 2 (blocks of 1 pair nothing)")
+        if self.shingle_size < 1:
+            raise ValueError("shingle_size must be >= 1")
+        w = self.w_jaccard + self.w_levenshtein + self.w_jaro_winkler
+        if w <= 0:
+            raise ValueError("similarity weights must sum to > 0")
+        if self.salt_mode not in ("hash", "rank"):
+            raise ValueError(f"salt_mode must be 'hash' or 'rank', got {self.salt_mode!r}")
+        if self.min_turns < 0 or self.turn_text_cap < 1 or self.cc_max_iterations < 1:
+            raise ValueError("min_turns >= 0, turn_text_cap >= 1, cc_max_iterations >= 1")
+        return self
+
     def fingerprint(self) -> str:
         """Deterministic digest of the config — part of every stage's
         checkpoint identity (resume only reuses a stage written under an
@@ -78,6 +102,62 @@ class LinkConfig:
         if self.num_hashes % self.lsh_bands:
             raise ValueError("num_hashes must be divisible by lsh_bands")
         return self.num_hashes // self.lsh_bands
+
+
+#: Env-override prefix (the reference reads DEDUPE_* overrides,
+#: ``src/config.rs:64-105``; ours are TRANSLINK_<FIELD>, e.g.
+#: TRANSLINK_THRESHOLD=0.8, TRANSLINK_SALT_MODE=rank).
+ENV_PREFIX = "TRANSLINK_"
+
+
+def _coerce(name: str, raw: str, current):
+    """Coerce a string override to the field's dataclass type."""
+    if current is None or isinstance(current, str):
+        return raw
+    if isinstance(current, bool):
+        return raw.lower() in ("1", "true", "yes")
+    if isinstance(current, int):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    raise ValueError(f"cannot coerce config field {name} from {raw!r}")
+
+
+def load_config(
+    path: str | None = None,
+    env: dict | None = None,
+    base: LinkConfig | None = None,
+) -> LinkConfig:
+    """Build a LinkConfig from (lowest to highest precedence) the ``base``
+    defaults, a YAML file, and ``TRANSLINK_*`` environment overrides —
+    mirroring the reference's config loading order (file then ``DEDUPE_*``
+    env, ``src/config.rs:64-105`` + ``config.example.yaml``). Unknown keys
+    are rejected; the result is validated."""
+    import dataclasses
+    import os as _os
+
+    cfg = base or LinkConfig()
+    fields = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)}
+    overrides: dict = {}
+    if path:
+        import yaml
+
+        with open(path) as fh:
+            data = yaml.safe_load(fh) or {}
+        if not isinstance(data, dict):
+            raise ValueError(f"config file {path} must be a mapping")
+        for k, v in data.items():
+            if k not in fields:
+                raise ValueError(f"unknown config key in {path}: {k!r}")
+            overrides[k] = v
+    env = dict(_os.environ) if env is None else env
+    for k, raw in env.items():
+        if not k.startswith(ENV_PREFIX):
+            continue
+        name = k[len(ENV_PREFIX):].lower()
+        if name in fields:
+            overrides[name] = _coerce(name, raw, fields[name])
+    return dataclasses.replace(cfg, **overrides).validate()
 
 
 # Performance-mode presets, analog of the reference's standard/high/ultra

@@ -102,19 +102,31 @@ def run_pipeline(
         if cfg.attr_max_chars is not None:
             attr_side = attr_side.filter(F.col("total_chars") <= cfg.attr_max_chars)
         blocked = with_salt(with_block_key(attr_side, cfg), ["block_key"], cfg)
-        attr_pairs = candidate_pairs(blocked, cfg, payload_cols=["digest"])
+        attr_pairs = candidate_pairs(
+            blocked, cfg, payload_cols=["digest", "digest_md5"]
+        )
         # LSH band blocking (A4 analog).
         bands = lsh_band_keys(signed, cfg)
-        lsh_pairs = lsh_candidate_pairs(bands, signed, cfg, payload_cols=["digest"]).drop(
-            "n_bands_hit"
-        )
+        lsh_pairs = lsh_candidate_pairs(
+            bands, signed, cfg, payload_cols=["digest", "digest_md5"]
+        ).drop("n_bands_hit")
         # One row per distinct pair from either blocker; pairs already equal
         # by digest are resolved on the exact path — exclude them from
         # similarity scoring (the reference's early-exit, src/pipeline/mod.rs:92-95).
+        # The exclusion requires BOTH digests equal, exactly complementary to
+        # exact_edges (which links on digest AND digest_md5): a pair colliding
+        # on 64-bit xxhash64 alone would otherwise be dropped from scoring yet
+        # never linked by the exact path — a silently lost true pair at 1e9+
+        # conversation scale.
+        pair_cols = ["conv_id_a", "conv_id_b",
+                     "digest_a", "digest_b", "digest_md5_a", "digest_md5_b"]
         return (
-            attr_pairs.select("conv_id_a", "conv_id_b", "digest_a", "digest_b")
-            .union(lsh_pairs.select("conv_id_a", "conv_id_b", "digest_a", "digest_b"))
-            .filter(F.col("digest_a") != F.col("digest_b"))
+            attr_pairs.select(*pair_cols)
+            .union(lsh_pairs.select(*pair_cols))
+            .filter(
+                (F.col("digest_a") != F.col("digest_b"))
+                | (F.col("digest_md5_a") != F.col("digest_md5_b"))
+            )
             .select("conv_id_a", "conv_id_b")
             .distinct()
         )

@@ -28,12 +28,21 @@ def elect_primary(clusters: DataFrame, canonical: DataFrame) -> DataFrame:
     )
 
 
-def cluster_report(members: DataFrame) -> DataFrame:
+def cluster_report(members: DataFrame, scored: DataFrame | None = None) -> DataFrame:
     """Cluster-level rollups over ``elect_primary`` output: member count,
     total chars, and potential savings (chars of all non-primary members —
     the analog of ``potential_savings = size * (n - 1)``,
-    ``src/report/mod.rs:111-163``)."""
-    return (
+    ``src/report/mod.rs:111-163``).
+
+    With ``scored`` (pair scores ``conv_id_a, conv_id_b, score``), adds
+    ``mean_similarity`` — the mean blended score over intra-cluster scored
+    pairs (the reference's per-group similarity H14,
+    ``src/pipeline/streaming_hash.rs:256-313``). Clusters with no scored
+    pair (pure exact-duplicate groups, which skip similarity scoring on the
+    early-exit path) get 1.0 — their members are byte-identical. The mean
+    uses a sorted deterministic fold so it is reproducible cross-engine.
+    """
+    base = (
         members
         .groupBy("cluster_id")
         .agg(
@@ -45,6 +54,44 @@ def cluster_report(members: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
     )
+    if scored is None:
+        return base
+    cl = members.select("conv_id", "cluster_id")
+    intra = (
+        scored
+        .join(cl.withColumnRenamed("conv_id", "conv_id_a"), "conv_id_a")
+        .join(
+            cl.select(
+                F.col("conv_id").alias("conv_id_b"),
+                F.col("cluster_id").alias("_cb"),
+            ),
+            "conv_id_b",
+        )
+        .filter(F.col("cluster_id") == F.col("_cb"))
+        .groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list("score")).alias("_scores"))
+        .select(
+            "cluster_id",
+            (
+                F.expr(
+                    "aggregate(_scores, cast(0.0 as double), (acc, v) -> acc + v)"
+                )
+                / F.size("_scores")
+            ).alias("mean_similarity"),
+        )
+    )
+    return base.join(intra, "cluster_id", "left").withColumn(
+        "mean_similarity", F.coalesce("mean_similarity", F.lit(1.0))
+    )
+
+
+def deduplicate(members: DataFrame) -> DataFrame:
+    """Remove-mode materialization (reference ``OperationMode::Remove``,
+    ``src/config.rs:41-47``; keep/removable semantics
+    ``src/report/mod.rs:53-65``): the deduplicated dataset — exactly one
+    primary row per cluster, singletons included. The complement (dropped
+    rows) is ``members.filter(~is_primary)``."""
+    return members.filter(F.col("is_primary"))
 
 
 def global_stats(members: DataFrame) -> dict:
@@ -78,13 +125,75 @@ def write_report(
     elif fmt == "csv":
         members.write.mode("overwrite").option("header", True).csv(path)
     elif fmt == "text":
-        stats = global_stats(members)
-        lines = ["translink deduplication report", "=" * 34]
-        lines += [f"{k:>16}: {v}" for k, v in stats.items()]
         with open(path, "w") as fh:
-            fh.write("\n".join(lines) + "\n")
+            fh.write(format_text_report(members))
     else:
         raise ValueError(f"unknown report format: {fmt}")
+
+
+def format_text_report(members: DataFrame, max_groups: int = 50) -> str:
+    """Aligned, human-readable group listing with a stats header and legend —
+    the analog of the reference's text formatter
+    (``src/report/formatters/text.rs:10-97``). Driver-side by design (a
+    console report is a driver artifact); the listing is capped at
+    ``max_groups`` clusters ranked by savings so the collect stays bounded
+    at any corpus size.
+    """
+    stats = global_stats(members)
+    w = Window.partitionBy("cluster_id")
+    groups = (
+        members
+        .withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") >= 2)
+        .withColumn(
+            "_savings",
+            F.sum(F.when(~F.col("is_primary"), F.col("total_chars"))
+                  .otherwise(F.lit(0))).over(w),
+        )
+    )
+    rows = (
+        groups.orderBy(
+            F.col("_savings").desc(), F.col("cluster_id").asc(),
+            F.col("is_primary").desc(), F.col("conv_id").asc(),
+        )
+        .select("cluster_id", "conv_id", "n_turns", "total_chars",
+                "max_ts", "is_primary", "_savings")
+        .limit(max_groups * 64)
+        .collect()
+    )
+    lines = [
+        "translink deduplication report",
+        "=" * 62,
+        f"{'conversations':>18}: {stats['n_records']}",
+        f"{'clusters':>18}: {stats['n_clusters']}",
+        f"{'duplicates':>18}: {stats['n_duplicates']}",
+        f"{'savings (chars)':>18}: {stats['savings_chars']}",
+        "",
+        "duplicate groups (by potential savings)",
+        "-" * 62,
+    ]
+    gid = 0
+    seen: set = set()
+    for r in rows:
+        if r["cluster_id"] not in seen:
+            if len(seen) >= max_groups:
+                break
+            seen.add(r["cluster_id"])
+            gid += 1
+            lines.append(
+                f"group {gid}  cluster={r['cluster_id']}  "
+                f"savings={r['_savings']} chars"
+            )
+        marker = "*" if r["is_primary"] else " "
+        lines.append(
+            f"  [{marker}] {r['conv_id']:<32} turns={r['n_turns']:<5} "
+            f"chars={r['total_chars']:<8} ts={r['max_ts']}"
+        )
+    lines += [
+        "-" * 62,
+        "legend: [*] primary (kept)   [ ] duplicate (removable)",
+    ]
+    return "\n".join(lines) + "\n"
 
 
 def format_stats_json(stats: dict) -> str:

@@ -188,6 +188,58 @@ def make_signature_udf(k: int, n: int, seed: int = 42):
     return signature_kernel
 
 
+def make_shingle_udf(n: int, seed: int = 42):
+    """Arrow-batched hashed-shingle kernel: text -> deduped array<bigint> of
+    word n-gram shingle hashes. The hot-path replacement for the interpreted
+    nested-HOF ``shingles_expr`` + per-shingle hash (measured 14.4s vs ~1s at
+    sf0.1, PLANS.md): one C-vectorized token-hash pass per Arrow batch, then
+    numeric n-gram combination. Same tokenization and shingle semantics as
+    ``shingles_expr`` (short texts collapse to one truncated shingle; empty
+    rows give an empty array), but shingles are represented by 64-bit hashes
+    — set sizes (and therefore Jaccard ratios) are identical modulo
+    negligible 64-bit collisions."""
+    import re
+
+    rng = np.random.default_rng(seed ^ 0x5EED)
+    C = ((rng.integers(1, 1 << 62, size=n).astype(np.int64)) << np.int64(1)) | np.int64(1)
+    pat = re.compile(TOKENIZE_PATTERN)
+
+    @pandas_udf(ArrayType(LongType()))
+    def shingle_kernel(texts: pd.Series) -> pd.Series:
+        tok_lists = [
+            [w for w in pat.split((t or "").lower()) if w] for t in texts
+        ]
+        tlens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                            count=len(tok_lists))
+        total = int(tlens.sum())
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for toks in tok_lists:
+            flat[pos: pos + len(toks)] = toks
+            pos += len(toks)
+        TH = (pd.util.hash_array(flat).view(np.int64)
+              if total else np.empty(0, np.int64))
+        rows_sh: list = []
+        pos = 0
+        for ln in tlens:
+            h = TH[pos: pos + ln]
+            pos += ln
+            if ln == 0:
+                rows_sh.append(np.empty(0, np.int64))
+            elif ln <= n:
+                rows_sh.append(np.array(
+                    [int((C[:ln] * h).sum(dtype=np.int64))], dtype=np.int64))
+            else:
+                m = int(ln) - n + 1
+                s = np.zeros(m, dtype=np.int64)
+                for j in range(n):
+                    s += C[j] * h[j: j + m]
+                rows_sh.append(np.unique(s))
+        return pd.Series(rows_sh)
+
+    return shingle_kernel
+
+
 def make_minhash_udf(k: int, seed: int = 42):
     """Arrow-batched MinHash kernel: k multiply-shift permutations of the
     pre-hashed shingle array, min per permutation, fully vectorized in numpy

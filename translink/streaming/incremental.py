@@ -5,9 +5,15 @@ mpsc channels with batch/timeout flushing (``src/pipeline/streaming.rs``,
 ``src/walker_hp.rs:175-232``). The Spark-native equivalent is a file-source
 ``readStream`` over the transcript landing directory with ``foreachBatch``:
 each micro-batch canonicalizes + signs only the newly arrived conversations
-and upserts them into the signature store; full re-clustering runs on the
-batch side from the store (T5: the reference's terminal hash stage also
-defers global grouping to flush time).
+and appends to the signature store, alongside the raw turns; full or
+incremental re-clustering runs on the batch side from the store (T5: the
+reference's terminal hash stage also defers global grouping to flush time).
+
+Split conversations are handled at READ time: the store keeps the raw turns
+of every batch, and ``read_signature_store`` detects conv_ids that arrived
+across multiple batches and re-canonicalizes them from the turn store —
+their per-batch partial signatures are discarded. No whole-conversation-
+per-file drop convention is required for correctness.
 
 ``availableNow`` trigger = the reference's Flush/Shutdown drain semantics;
 ``maxFilesPerTrigger`` = its bounded channel capacity (backpressure, T4).
@@ -29,6 +35,9 @@ TRANSCRIPT_DDL = (
     "conv_id string, turn_idx int, role string, text string, "
     "tool string, ts timestamp"
 )
+
+SIGNATURES = "signatures"
+TURNS = "turns"
 
 
 def stream_transcript_dir(
@@ -56,10 +65,10 @@ def incremental_signatures(
 ):
     """Run the signature stages incrementally over a transcript stream.
 
-    Each micro-batch: canonicalize + digest + MinHash the arriving rows and
-    append to the parquet signature store. Conversations split across
-    micro-batches are re-canonicalized by the batch-side consumer (store
-    keeps the latest row per (conv_id, batch); dedup happens at read).
+    Each micro-batch appends (a) the raw turns and (b) the per-conversation
+    signatures of the arriving rows to the store, both stamped with the
+    batch id. Signatures of conversations split across batches are partial
+    per batch — ``read_signature_store`` repairs them from the turn store.
     Returns the StreamingQuery; with ``available_now`` the call drains all
     pending files then stops (Flush/Shutdown semantics).
     """
@@ -70,11 +79,15 @@ def incremental_signatures(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        stamped = batch_df.withColumn(
+            "_batch_id", F.lit(int(batch_id)).cast("long")
+        )
+        stamped.write.mode("append").parquet(os.path.join(store_dir, TURNS))
         signed = with_minhash(with_exact_digest(canonicalize(batch_df, cfg)), cfg)
         (
             signed
             .withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
-            .write.mode("append").parquet(store_dir)
+            .write.mode("append").parquet(os.path.join(store_dir, SIGNATURES))
         )
 
     writer = (
@@ -87,13 +100,191 @@ def incremental_signatures(
     return writer.start()
 
 
-def read_signature_store(spark: SparkSession, store_dir: str) -> DataFrame:
-    """Latest signature row per conv_id from the append-only store (a
-    conversation re-delivered in a later batch supersedes earlier rows)."""
-    df = spark.read.parquet(store_dir)
-    w = Window.partitionBy("conv_id").orderBy(F.col("_batch_id").desc())
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
+def read_signature_store(
+    spark: SparkSession, store_dir: str, cfg: LinkConfig | None = None
+) -> DataFrame:
+    """One complete signature row per conv_id from the append-only store.
+
+    Conversations whose rows all landed in a single batch use their streamed
+    signature directly. A conv_id that appears in MULTIPLE batches (split
+    delivery, or re-delivery of an updated conversation) is re-canonicalized
+    from the turn store — per-(conv_id, turn_idx) the latest batch wins — so
+    its digest/minhash cover the full merged conversation instead of a
+    per-batch fragment. The repair cost is proportional to the split
+    conversations only, not the corpus.
+    """
+    cfg = cfg or LinkConfig()
+    sig = spark.read.parquet(os.path.join(store_dir, SIGNATURES))
+    multi = (
+        sig.groupBy("conv_id")
+        .agg(F.countDistinct("_batch_id").alias("_nb"))
+        .filter(F.col("_nb") > 1)
+        .select("conv_id")
+    )
+    clean = sig.join(multi, "conv_id", "left_anti").drop("_batch_id")
+    turns = spark.read.parquet(os.path.join(store_dir, TURNS)).join(
+        multi, "conv_id", "left_semi"
+    )
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("_batch_id").desc()
+    )
+    merged_turns = (
+        turns.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .drop("_rk", "_batch_id")
     )
+    repaired = with_minhash(
+        with_exact_digest(canonicalize(merged_turns, cfg)), cfg
+    )
+    return clean.unionByName(repaired)
+
+
+def recluster_incremental(
+    spark: SparkSession,
+    signed: DataFrame,
+    prev_clusters: DataFrame,
+    new_ids: DataFrame,
+    cfg: LinkConfig | None = None,
+) -> DataFrame:
+    """Re-cluster only the components affected by newly arrived/changed
+    conversations (the reference re-groups at every flush,
+    ``src/pipeline/streaming_hash.rs:132-202``; at 10^12-turn scale a full
+    re-cluster per drop is not an option).
+
+    ``signed``: the full signature store (old + new). ``prev_clusters``:
+    (conv_id, cluster_id) of the previous run over the OLD corpus.
+    ``new_ids``: (conv_id) of conversations new or changed since.
+
+    Candidate generation is ASYMMETRIC — new signatures join against the
+    full corpus on the blocking keys (attribute + LSH bands + exact digest),
+    so the join size scales with the drop, not the corpus; because the new
+    side is small, the asymmetric join needs no salt cap. Old-old pair
+    scores are unchanged by construction, so their components are already
+    correct in ``prev_clusters``; only components reachable from a new edge
+    are re-solved with connected components. Labels are content-determined
+    (component minimum conv_id).
+
+    Equivalence contract: the result is byte-identical to a one-shot batch
+    run over the merged corpus whenever no attribute/LSH block exceeds
+    ``cfg.max_block_size`` (asserted in tests/test_streaming.py). When a
+    block overflows, batch mode salts it — a size-dependent partition that
+    can drop different in-block pairs run-over-run — while the incremental
+    path scores every new-touching pair in the block, so incremental recall
+    is >= the salted batch run there.
+    """
+    from translink.blocking import lsh_band_keys, with_block_key
+    from translink.clustering import connected_components
+    from translink.scoring import score_pairs
+    from translink.signatures import make_signature_udf
+
+    cfg = cfg or LinkConfig()
+    new_signed = signed.join(new_ids, "conv_id", "left_semi")
+
+    # -- candidate pairs touching at least one new conversation ----------
+    def _sided(df: DataFrame, keys: list[str]) -> DataFrame:
+        return df.select("conv_id", *keys)
+
+    attr_all = signed
+    if cfg.attr_max_chars is not None:
+        attr_all = attr_all.filter(F.col("total_chars") <= cfg.attr_max_chars)
+    attr_new = attr_all.join(new_ids, "conv_id", "left_semi")
+    ab = with_block_key(attr_all, cfg)
+    nb = with_block_key(attr_new, cfg)
+    attr_pairs = (
+        _sided(nb, ["block_key"]).alias("a")
+        .hint("MERGE")
+        .join(
+            _sided(ab, ["block_key"]).alias("b"),
+            on=[
+                F.col("a.block_key") == F.col("b.block_key"),
+                F.col("a.conv_id") != F.col("b.conv_id"),
+            ],
+        )
+        .select(
+            F.least("a.conv_id", "b.conv_id").alias("conv_id_a"),
+            F.greatest("a.conv_id", "b.conv_id").alias("conv_id_b"),
+        )
+    )
+    bands_all = lsh_band_keys(signed, cfg)
+    bands_new = lsh_band_keys(new_signed, cfg)
+    lsh_pairs = (
+        bands_new.alias("a")
+        .hint("MERGE")
+        .join(
+            bands_all.alias("b"),
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.conv_id") != F.col("b.conv_id"),
+            ],
+        )
+        .select(
+            F.least("a.conv_id", "b.conv_id").alias("conv_id_a"),
+            F.greatest("a.conv_id", "b.conv_id").alias("conv_id_b"),
+        )
+    )
+    dig = signed.select("conv_id", "digest", "digest_md5")
+    pairs = (
+        attr_pairs.union(lsh_pairs).distinct()
+        .join(dig.select(F.col("conv_id").alias("conv_id_a"),
+                         F.col("digest").alias("digest_a"),
+                         F.col("digest_md5").alias("digest_md5_a")), "conv_id_a")
+        .join(dig.select(F.col("conv_id").alias("conv_id_b"),
+                         F.col("digest").alias("digest_b"),
+                         F.col("digest_md5").alias("digest_md5_b")), "conv_id_b")
+    )
+    # exact path: byte-equal new-old/new-new pairs become edges directly
+    exact_new_edges = (
+        pairs.filter((F.col("digest_a") == F.col("digest_b"))
+                     & (F.col("digest_md5_a") == F.col("digest_md5_b")))
+        .select(F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst"))
+    )
+    sim_pairs = pairs.filter(
+        (F.col("digest_a") != F.col("digest_b"))
+        | (F.col("digest_md5_a") != F.col("digest_md5_b"))
+    ).select("conv_id_a", "conv_id_b")
+
+    payload = signed.select("conv_id", "canon_text")
+    sig_udf = make_signature_udf(cfg.num_hashes, cfg.shingle_size)
+    enriched = (
+        sim_pairs
+        .join(payload.select(F.col("conv_id").alias("conv_id_a"),
+                             F.col("canon_text").alias("canon_text_a")),
+              "conv_id_a")
+        .join(payload.select(F.col("conv_id").alias("conv_id_b"),
+                             F.col("canon_text").alias("canon_text_b")),
+              "conv_id_b")
+        .withColumn("shingles_a", sig_udf(F.col("canon_text_a"))["shingle_hashes"])
+        .withColumn("shingles_b", sig_udf(F.col("canon_text_b"))["shingle_hashes"])
+    )
+    scored = score_pairs(enriched, cfg, cascade=True)
+    sim_new_edges = scored.filter(F.col("score") >= cfg.threshold).select(
+        F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
+    )
+    new_edges = exact_new_edges.union(sim_new_edges).localCheckpoint(eager=True)
+
+    # -- affected components: previous clusters touching any new edge -----
+    endpoints = (
+        new_edges.select(F.col("src").alias("conv_id"))
+        .union(new_edges.select(F.col("dst").alias("conv_id")))
+        .distinct()
+    )
+    affected = (
+        prev_clusters.join(endpoints, "conv_id", "left_semi")
+        .select("cluster_id").distinct()
+    )
+    prev_affected = prev_clusters.join(affected, "cluster_id", "left_semi")
+    prev_star = prev_affected.filter(
+        F.col("conv_id") != F.col("cluster_id")
+    ).select(F.col("cluster_id").alias("src"), F.col("conv_id").alias("dst"))
+    comps = connected_components(new_edges.union(prev_star), cfg)
+
+    untouched = prev_clusters.join(affected, "cluster_id", "left_anti")
+    resolved_ids = comps.select("conv_id")
+    singles = (
+        signed.select("conv_id")
+        .join(resolved_ids, "conv_id", "left_anti")
+        .join(untouched.select("conv_id"), "conv_id", "left_anti")
+        .select("conv_id", F.col("conv_id").alias("cluster_id"))
+    )
+    return untouched.unionByName(comps).unionByName(singles)
