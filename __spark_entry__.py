@@ -297,13 +297,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- q04: salted candidate pairs (P8 skew bound + J1 self-join) -------
     def q_pairs(spark, sf_dir):
+        # candidate_pairs emits the pair's shared salt directly — one build
+        # of the salted table, no re-join
         return candidate_pairs(
             _spark_salted(spark, sf_dir), CFG, payload_cols=[]
-        ).join(
-            _spark_salted(spark, sf_dir)
-            .select("conv_id", "salt")
-            .withColumnRenamed("conv_id", "conv_id_a"),
-            "conv_id_a",
         ).select("conv_id_a", "conv_id_b", "block_key", "salt")
     q["candidate_pairs"] = q_pairs
 

@@ -36,6 +36,14 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=1)
     args = ap.parse_args()
 
+    # Cluster-faithful memory: an N-executor cluster has N/4 the aggregate
+    # memory of the 4N one (executors are fixed-size), so the JVM heap
+    # scales with the level — 0.625 GB/core reproduces the tuned 20g at 32
+    # cores. A fixed heap would hand the small level 4x the per-core memory
+    # (less spill, fewer GCs) that no real N-executor cluster has.
+    os.environ.setdefault(
+        "TRANSLINK_DRIVER_MEM", f"{max(4, (args.cores * 5) // 8)}g"
+    )
     spark = get_spark(
         master=f"local[{args.cores}]",
         shuffle_partitions=4 * args.cores,

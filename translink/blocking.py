@@ -75,6 +75,27 @@ def with_salt(
     return df.withColumn("salt", salt)
 
 
+def band_hashes_expr(
+    b: int, r: int, minhash_col: str = "minhash"
+) -> F.Column:
+    """``array<bigint>`` of the ``b`` band hashes of a MinHash signature.
+
+    Each band hash is one ``xxhash64`` call over that band's ``r`` signature
+    components plus the band index — a flat, whole-stage-codegen expression.
+    (The lambda formulation ``transform(sequence(b), i -> xxhash64(
+    array_join(slice(...))))`` runs interpreted and allocates a string per
+    band per row — measured as the dominant cost of the pairs stage at bench
+    scale; see PLANS.md interpreted-expression findings.)
+    """
+    return F.array(*[
+        F.xxhash64(
+            *[F.element_at(minhash_col, i * r + j + 1) for j in range(r)],
+            F.lit(i),
+        )
+        for i in range(b)
+    ])
+
+
 def lsh_band_keys(signed: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
     """Explode the MinHash signature into ``(band_id, band_hash)`` blocking
     keys — one output row per (conversation, band).
@@ -90,12 +111,7 @@ def lsh_band_keys(signed: DataFrame, cfg: LinkConfig | None = None) -> DataFrame
         signed
         .select(
             "conv_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, {b - 1}), "
-                    f"i -> xxhash64(array_join(slice(minhash, i * {r} + 1, {r}), ','), i))"
-                )
-            ).alias("band_id", "band_hash"),
+            F.posexplode(band_hashes_expr(b, r)).alias("band_id", "band_hash"),
         )
     )
 

@@ -54,6 +54,9 @@ def candidate_pairs(
         F.col("a.conv_id").alias("conv_id_a"),
         F.col("b.conv_id").alias("conv_id_b"),
         F.col("a.block_key").alias("block_key"),
+        # the pair's (shared) salt — free to emit, saves callers that need it
+        # a second build of the salted table
+        F.col("a.salt").alias("salt"),
     ]
     for c in payload_cols:
         cols.append(F.col(f"a.{c}").alias(f"{c}_a"))

@@ -86,12 +86,14 @@ def run_pipeline(
         "signed",
         # repartition: signature cost is per-row CPU; spread it over the
         # session's full parallelism regardless of upstream byte sizes.
-        # shingle_hashes are NOT persisted: the corpus-wide column would be
-        # ~10x the minhash and is only needed for prefilter survivors, for
-        # whom the scored stage recomputes it (a few k rows, not the corpus)
+        # shingle_hashes are NOT computed/transferred here: the corpus-wide
+        # column would be ~10x the minhash over the Arrow channel and is
+        # only needed for prefilter survivors, for whom the scored stage
+        # recomputes it (a few k rows, not the corpus)
         lambda: with_minhash(
-            with_exact_digest(canonical), cfg, repartition=cfg.shuffle_partitions
-        ).drop("shingle_hashes"),
+            with_exact_digest(canonical), cfg,
+            repartition=cfg.shuffle_partitions, include_shingles=False,
+        ),
     )
 
     def _build_pairs() -> DataFrame:
@@ -102,34 +104,45 @@ def run_pipeline(
         if cfg.attr_max_chars is not None:
             attr_side = attr_side.filter(F.col("total_chars") <= cfg.attr_max_chars)
         blocked = with_salt(with_block_key(attr_side, cfg), ["block_key"], cfg)
-        attr_pairs = candidate_pairs(
-            blocked, cfg, payload_cols=["digest", "digest_md5"]
-        )
+        attr_pairs = candidate_pairs(blocked, cfg, payload_cols=["digest"])
         # LSH band blocking (A4 analog).
         bands = lsh_band_keys(signed, cfg)
         lsh_pairs = lsh_candidate_pairs(
-            bands, signed, cfg, payload_cols=["digest", "digest_md5"]
+            bands, signed, cfg, payload_cols=["digest"]
         ).drop("n_bands_hit")
         # One row per distinct pair from either blocker; pairs already equal
         # by digest are resolved on the exact path — exclude them from
         # similarity scoring (the reference's early-exit, src/pipeline/mod.rs:92-95).
-        # The exclusion requires BOTH digests equal, exactly complementary to
-        # exact_edges (which links on digest AND digest_md5): a pair colliding
-        # on 64-bit xxhash64 alone would otherwise be dropped from scoring yet
-        # never linked by the exact path — a silently lost true pair at 1e9+
-        # conversation scale.
-        pair_cols = ["conv_id_a", "conv_id_b",
-                     "digest_a", "digest_b", "digest_md5_a", "digest_md5_b"]
-        return (
+        # The exclusion must require BOTH digests equal (exactly complementary
+        # to exact_edges, which links on digest AND digest_md5): a pair
+        # colliding on 64-bit xxhash64 alone would otherwise be dropped from
+        # scoring yet never linked by the exact path — a silently lost true
+        # pair at 1e9+ conversation scale. The md5 check runs AFTER the
+        # distinct, on the (tiny) digest-equal subset only, so the 32-byte
+        # hex strings never ride the pre-distinct self-join shuffle — only an
+        # 8-byte digest (folded to one boolean map-side) does.
+        pair_cols = ["conv_id_a", "conv_id_b", "digest_a", "digest_b"]
+        cand = (
             attr_pairs.select(*pair_cols)
             .union(lsh_pairs.select(*pair_cols))
-            .filter(
-                (F.col("digest_a") != F.col("digest_b"))
-                | (F.col("digest_md5_a") != F.col("digest_md5_b"))
+            .select(
+                "conv_id_a", "conv_id_b",
+                (F.col("digest_a") == F.col("digest_b")).alias("_dig_eq"),
             )
-            .select("conv_id_a", "conv_id_b")
-            .distinct()
+            .distinct()  # _dig_eq is a function of the pair: still pair-distinct
         )
+        survivors = cand.filter(~F.col("_dig_eq")).select("conv_id_a", "conv_id_b")
+        md5 = signed.select("conv_id", "digest_md5")
+        rescued = (
+            cand.filter(F.col("_dig_eq"))
+            .join(md5.select(F.col("conv_id").alias("conv_id_a"),
+                             F.col("digest_md5").alias("_m_a")), "conv_id_a")
+            .join(md5.select(F.col("conv_id").alias("conv_id_b"),
+                             F.col("digest_md5").alias("_m_b")), "conv_id_b")
+            .filter(F.col("_m_a") != F.col("_m_b"))
+            .select("conv_id_a", "conv_id_b")
+        )
+        return survivors.union(rescued)
 
     pairs = _stage("pairs", _build_pairs)
 

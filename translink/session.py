@@ -49,6 +49,14 @@ def get_spark(
             if "TRANSLINK_LOCAL_DIR" in os.environ else {}
         ),
         "spark.driver.maxResultSize": "4g",
+        # Trade bytes for CPU everywhere data moves: zstd shuffle/spill and
+        # checkpoint-parquet compression roughly halves bytes vs lz4/snappy
+        # at modest CPU cost. Right trade on a real cluster (network shuffle)
+        # AND on this sandbox, where DRAM bandwidth saturates at ~2-3 cores
+        # (BENCH/MEMBW.json: 8->32 worker triad scaling is 1.08x) — CPU is
+        # the resource that scales with cores; bytes are the one that doesn't.
+        "spark.io.compression.codec": "zstd",
+        "spark.sql.parquet.compression.codec": "zstd",
         # Arrow batching for pandas UDFs (P6).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

@@ -73,9 +73,14 @@ def with_exact_digest(canonical: DataFrame) -> DataFrame:
     })
 
 
-def make_signature_udf(k: int, n: int, seed: int = 42):
+def make_signature_udf(k: int, n: int, seed: int = 42, emit_shingles: bool = True):
     """Arrow-batched signature kernel: canonical text -> (shingle_hashes,
     minhash), vectorized across the batch.
+
+    ``emit_shingles=False`` drops shingle_hashes from the OUTPUT schema:
+    callers that only need the signatures (the pipeline's signed stage —
+    survivors recompute shingles pair-side) skip transferring hundreds of
+    longs per row back over Arrow, a pure memory-bandwidth saving.
 
     Everything per-token/per-shingle happens here, NOT in SQL expressions:
     even a single-level ``transform(tokens, t -> xxhash64(t))`` runs
@@ -101,14 +106,16 @@ def make_signature_udf(k: int, n: int, seed: int = 42):
 
     from pyspark.sql.types import StructField, StructType
 
-    out_type = StructType([
-        StructField("shingle_hashes", ArrayType(LongType()), False),
+    fields = [
         StructField("minhash", ArrayType(LongType()), False),
         # position-tagged minhash: component i scrambled with i, so
         # positional agreement between two signatures == set-intersection
         # size (native array_intersect, no per-pair lambdas)
         StructField("minhash_tagged", ArrayType(LongType()), False),
-    ])
+    ]
+    if emit_shingles:
+        fields.insert(0, StructField("shingle_hashes", ArrayType(LongType()), False))
+    out_type = StructType(fields)
     TAG_A = np.int64(-8056529492539294021)  # odd multiplier
     TAG_I = (np.arange(k, dtype=np.int64) + np.int64(1)) * np.int64(5871781006564002453)
 
@@ -179,11 +186,10 @@ def make_signature_udf(k: int, n: int, seed: int = 42):
         tagged = mh * TAG_A + TAG_I  # wraps mod 2^64; bijective per position
         # numpy arrays go straight to Arrow (list-of-ndarray fast path);
         # .tolist() boxing would cost more than the whole minhash computation
-        return pd.DataFrame({
-            "shingle_hashes": rows_sh,
-            "minhash": list(mh),
-            "minhash_tagged": list(tagged),
-        })
+        out = {"minhash": list(mh), "minhash_tagged": list(tagged)}
+        if emit_shingles:
+            out = {"shingle_hashes": rows_sh, **out}
+        return pd.DataFrame(out)
 
     return signature_kernel
 
@@ -288,6 +294,7 @@ def with_minhash(
     cfg: LinkConfig | None = None,
     repartition: int | None = None,
     method: str = "arrow",
+    include_shingles: bool = True,
 ) -> DataFrame:
     """Add ``shingle_hashes: array<bigint>`` (each shingle xxhash64'd once)
     and ``minhash: array<bigint>`` signature columns.
@@ -313,11 +320,13 @@ def with_minhash(
         # k-permutation minhash all run in ONE numpy kernel per Arrow batch
         # (even single-level lambda expressions are interpreted JVM-side and
         # lose to the kernel ~30:1 at corpus scale; see PLANS.md)
-        sig = make_signature_udf(k, cfg.shingle_size)
+        sig = make_signature_udf(k, cfg.shingle_size,
+                                 emit_shingles=include_shingles)
+        out = canonical.withColumn("_sig", sig(F.col("canon_text")))
+        if include_shingles:
+            out = out.withColumn("shingle_hashes", F.col("_sig.shingle_hashes"))
         return (
-            canonical
-            .withColumn("_sig", sig(F.col("canon_text")))
-            .withColumn("shingle_hashes", F.col("_sig.shingle_hashes"))
+            out
             .withColumn("minhash", F.col("_sig.minhash"))
             .withColumn("minhash_tagged", F.col("_sig.minhash_tagged"))
             .drop("_sig")

@@ -133,15 +133,12 @@ def doc_minhash_lsh_pairs(
         F.coalesce("text", F.lit("")).alias("canon_text"),
     )
     signed = with_minhash(named, cfg, repartition=_parallelism(docs))
+    from translink.blocking import band_hashes_expr
+
     b, r = cfg.lsh_bands, cfg.lsh_rows
     bands = signed.select(
         "conv_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {b - 1}), "
-                f"i -> xxhash64(array_join(slice(minhash, i * {r} + 1, {r}), ','), i))"
-            )
-        ).alias("band_id", "band_hash"),
+        F.posexplode(band_hashes_expr(b, r)).alias("band_id", "band_hash"),
     )
     salted = with_salt(bands, ["band_id", "band_hash"], cfg)
     left = salted.select("conv_id", "band_id", "band_hash", "salt")
