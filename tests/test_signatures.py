@@ -68,3 +68,35 @@ def test_empty_text_sentinel_signature(spark):
     )
     rows = with_minhash(df, cfg).select("minhash").collect()
     assert rows[0]["minhash"] == rows[1]["minhash"] == [0] * 16
+
+
+def test_sketch_agreement_conservative(spark):
+    """The byte-lane sketch's agreement count is >= the exact positional
+    agreement for any pair of signatures (false byte agreements can only ADD
+    agreement), so prefiltering on it never drops a pair the exact MinHash
+    estimate would keep."""
+    import numpy as np
+
+    from translink.signatures import make_signature_udf
+
+    cfg = LinkConfig()
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "the quick brown fox jumps over the lazy cat " * 3,
+        "completely different text about databases and storage engines",
+        "",
+        "one two",
+    ]
+    df = spark.createDataFrame([(str(i), t) for i, t in enumerate(texts)],
+                               "conv_id string, canon_text string")
+    sig = make_signature_udf(cfg.num_hashes, cfg.shingle_size)
+    rows = df.select(sig("canon_text").alias("s")).collect()
+    mh = np.array([r["s"]["minhash"] for r in rows], dtype=np.int64)
+    sk = np.array([r["s"]["minhash_sketch"] for r in rows], dtype=np.int64)
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            exact = int((mh[i] == mh[j]).sum())
+            x = (sk[i] ^ sk[j]).view(np.uint64)
+            lanes = (x[:, None] >> (np.uint64(8) * np.arange(8, dtype=np.uint64)))
+            sketch_agree = int(((lanes & np.uint64(255)) == 0).sum())
+            assert sketch_agree >= exact, (i, j, sketch_agree, exact)

@@ -76,6 +76,11 @@ class LinkConfig:
                 f"num_hashes ({self.num_hashes}) must be a positive multiple "
                 f"of lsh_bands ({self.lsh_bands})"
             )
+        if self.num_hashes % 8:
+            raise ValueError(
+                f"num_hashes ({self.num_hashes}) must be a multiple of 8 "
+                f"(byte-lane sketch packs 8 components per long)"
+            )
         if self.max_block_size < 2:
             raise ValueError("max_block_size must be >= 2 (blocks of 1 pair nothing)")
         if self.shingle_size < 1:

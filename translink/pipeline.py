@@ -158,20 +158,34 @@ def run_pipeline(
         #   3. Levenshtein + Jaro-Winkler only for remaining survivors.
         from translink.scoring import jaccard_lower_bound
 
-        # minhash_tagged (from the signature kernel) scrambles component i
-        # with its position, so positional agreement == set intersection size
-        tagged = signed.select("conv_id", F.col("minhash_tagged").alias("_mt"))
+        # minhash_sketch packs one byte per position-scrambled signature
+        # component (8 lanes per long): per-pair agreement = zero bytes of
+        # the lane-wise XOR, counted with flat codegen arithmetic — no
+        # array allocation, and 64 bytes per side through the join instead
+        # of the 528-byte tagged array (the est join is the pipeline's
+        # biggest shuffle; minhash values are incompressible, so bytes here
+        # are pure memory/network bandwidth). A non-matching component
+        # falsely agrees with p=1/256 per lane, so the sketch estimate is
+        # >= the positional estimate: the prefilter only ever passes MORE
+        # pairs — the thresholded edge set is unchanged.
+        sk = signed.select("conv_id", F.col("minhash_sketch").alias("_sk"))
         k = cfg.num_hashes
-        est = F.size(F.array_intersect("_mt_a", "_mt_b")) / k
+        agree_terms = []
+        for p in range(k // 8):
+            x = F.element_at("_sk_a", p + 1).bitwiseXOR(F.element_at("_sk_b", p + 1))
+            for j in range(8):
+                lane = F.shiftrightunsigned(x, 8 * j).bitwiseAND(F.lit(255))
+                agree_terms.append(F.when(lane == 0, 1).otherwise(0))
+        est = sum(agree_terms[1:], agree_terms[0]) / k
         bound = jaccard_lower_bound(cfg)
         # margin = ~3 sigma of the k-sample MinHash estimate at the bound;
         # pairs it drops are (p > 0.997) below the exact bound anyway
         survivors = (
             pairs
-            .join(tagged.select(F.col("conv_id").alias("conv_id_a"),
-                                F.col("_mt").alias("_mt_a")), "conv_id_a")
-            .join(tagged.select(F.col("conv_id").alias("conv_id_b"),
-                                F.col("_mt").alias("_mt_b")), "conv_id_b")
+            .join(sk.select(F.col("conv_id").alias("conv_id_a"),
+                            F.col("_sk").alias("_sk_a")), "conv_id_a")
+            .join(sk.select(F.col("conv_id").alias("conv_id_b"),
+                            F.col("_sk").alias("_sk_b")), "conv_id_b")
             .filter(est >= max(0.0, bound - 0.15))
             .select("conv_id_a", "conv_id_b")
         )

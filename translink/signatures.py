@@ -108,10 +108,15 @@ def make_signature_udf(k: int, n: int, seed: int = 42, emit_shingles: bool = Tru
 
     fields = [
         StructField("minhash", ArrayType(LongType()), False),
-        # position-tagged minhash: component i scrambled with i, so
-        # positional agreement between two signatures == set-intersection
-        # size (native array_intersect, no per-pair lambdas)
-        StructField("minhash_tagged", ArrayType(LongType()), False),
+        # byte-lane sketch: one byte per position-scrambled signature
+        # component, packed 8 per long (k/8 longs total). Two sketches'
+        # per-lane agreement estimates positional MinHash agreement with a
+        # +1/256 false-agreement bias per non-matching component — strictly
+        # CONSERVATIVE for prefiltering (only ever passes more pairs), at
+        # 1/8 the bytes of the full tagged signature and compared with pure
+        # codegen XOR + zero-byte counting instead of allocating array
+        # intersections.
+        StructField("minhash_sketch", ArrayType(LongType()), False),
     ]
     if emit_shingles:
         fields.insert(0, StructField("shingle_hashes", ArrayType(LongType()), False))
@@ -184,9 +189,13 @@ def make_signature_udf(k: int, n: int, seed: int = 42, emit_shingles: bool = Tru
                 r0 = r1
             mh[nonempty] = sub
         tagged = mh * TAG_A + TAG_I  # wraps mod 2^64; bijective per position
+        # pack the low byte of each position-scrambled component, 8 per long
+        lanes = (tagged.view(np.uint64) & np.uint64(0xFF)).reshape(len(mh), k // 8, 8)
+        shifts = np.uint64(8) * np.arange(8, dtype=np.uint64)
+        sketch = np.bitwise_or.reduce(lanes << shifts, axis=2).view(np.int64)
         # numpy arrays go straight to Arrow (list-of-ndarray fast path);
         # .tolist() boxing would cost more than the whole minhash computation
-        out = {"minhash": list(mh), "minhash_tagged": list(tagged)}
+        out = {"minhash": list(mh), "minhash_sketch": list(sketch)}
         if emit_shingles:
             out = {"shingle_hashes": rows_sh, **out}
         return pd.DataFrame(out)
@@ -328,7 +337,7 @@ def with_minhash(
         return (
             out
             .withColumn("minhash", F.col("_sig.minhash"))
-            .withColumn("minhash_tagged", F.col("_sig.minhash_tagged"))
+            .withColumn("minhash_sketch", F.col("_sig.minhash_sketch"))
             .drop("_sig")
         )
     base = (
@@ -345,9 +354,27 @@ def with_minhash(
         f"else transform(sequence(0, {k - 1}), "
         f"i -> array_min(transform(shingle_hashes, h -> xxhash64(h, i)))) end"
     )
-    return base.withColumn("minhash", F.expr(expr)).withColumn(
-        "minhash_tagged", F.expr("transform(minhash, (v, i) -> xxhash64(v, i))")
-    )
+    base = base.withColumn("minhash", F.expr(expr))
+    # byte-lane sketch (flat codegen: 8 ORed byte extracts per output long)
+    sketch = F.array(*[
+        _fold_or([
+            F.shiftleft(
+                F.xxhash64(F.element_at("minhash", p * 8 + j + 1), F.lit(p * 8 + j))
+                .bitwiseAND(F.lit(255)),
+                8 * j,
+            )
+            for j in range(8)
+        ])
+        for p in range(k // 8)
+    ])
+    return base.withColumn("minhash_sketch", sketch)
+
+
+def _fold_or(cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
 
 
 def minhash_jaccard_expr(a: str = "a.minhash", b: str = "b.minhash"):
