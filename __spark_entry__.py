@@ -544,14 +544,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ann(spark, sf_dir):
         from translink.ann import cosine_topk
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+        return cosine_topk(emb, emb.filter(F.col("vec_id") < 200), k=5)
     q["ann_cosine_topk"] = q_ann
 
     # -- q19: k-NN label vote ---------------------------------------------
     def q_knn(spark, sf_dir):
         from translink.ann import knn_label_vote
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return knn_label_vote(emb, emb.filter(F.col("vec_id") < 10), k=5)
+        return knn_label_vote(emb, emb.filter(F.col("vec_id") < 200), k=5)
     q["knn_label_vote"] = q_knn
 
     # -- q20: event-level exact dedup (A1 on the raw stream table) --------
@@ -587,7 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from translink.ann import cosine_topk_lsh
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return cosine_topk_lsh(
-            emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64,
+            emb, emb.filter(F.col("vec_id") < 200), k=5, dim=64,
             n_planes=6, n_tables=16,
         )
     q["ann_cosine_topk_lsh"] = q_ann_lsh
@@ -971,7 +971,7 @@ FROM documents
 
     o["ann_cosine_topk"] = """
 WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-q AS (SELECT * FROM d WHERE vec_id < 10),
+q AS (SELECT * FROM d WHERE vec_id < 200),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]))
@@ -989,7 +989,7 @@ QUALIFY "rank" <= 5
 
     o["knn_label_vote"] = """
 WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
-q AS (SELECT * FROM d WHERE vec_id < 10),
+q AS (SELECT * FROM d WHERE vec_id < 200),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
          list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]))

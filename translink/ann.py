@@ -182,21 +182,26 @@ def cosine_topk_lsh(
     paying the full cross product."""
     c = hyperplane_bucket_keys(
         embeddings, dim, n_planes, n_tables, seed, id_col, vec_col
-    ).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-        "table_id", "bucket",
-    )
+    ).select(F.col(id_col).alias("neighbor_id"), "table_id", "bucket")
     q = hyperplane_bucket_keys(
         queries, dim, n_planes, n_tables, seed, id_col, vec_col
-    ).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
-        "table_id", "bucket",
-    )
-    cand = (
+    ).select(F.col(id_col).alias("query_id"), "table_id", "bucket")
+    # a pair colliding in several tables scores once: dedup on the ID pair
+    # alone, then join vectors from the ORIGINAL (unexploded) frames —
+    # running distinct over rows carrying both embeddings would hash and
+    # shuffle every float n_tables times
+    cand_ids = (
         q.join(c, on=["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "_qv", "neighbor_id", "_cv")
-        .distinct()  # a pair colliding in several tables scores once
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cand = (
+        cand_ids
+        .join(queries.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).alias("_qv")), "query_id")
+        .join(embeddings.select(F.col(id_col).alias("neighbor_id"),
+                                F.col(vec_col).alias("_cv")), "neighbor_id")
     )
     scored = cand.withColumn("cosine", _cosine_kernel(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy("query_id").orderBy(

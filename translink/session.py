@@ -49,13 +49,14 @@ def get_spark(
             if "TRANSLINK_LOCAL_DIR" in os.environ else {}
         ),
         "spark.driver.maxResultSize": "4g",
-        # Trade bytes for CPU everywhere data moves: zstd shuffle/spill and
-        # checkpoint-parquet compression roughly halves bytes vs lz4/snappy
-        # at modest CPU cost. Right trade on a real cluster (network shuffle)
-        # AND on this sandbox, where DRAM bandwidth saturates at ~2-3 cores
-        # (BENCH/MEMBW.json: 8->32 worker triad scaling is 1.08x) — CPU is
-        # the resource that scales with cores; bytes are the one that doesn't.
-        "spark.io.compression.codec": "zstd",
+        # Compression split, A/B-measured (PLANS.md): checkpoint parquet uses
+        # zstd (cold data, written once, ~2x smaller than snappy — bytes at
+        # rest and re-read are pure memory-bandwidth cost on this box, whose
+        # DRAM bandwidth saturates at ~2-3 cores; BENCH/MEMBW.json). Shuffle
+        # stays lz4: zstd on the hot shuffle path costs more CPU than its
+        # byte savings return once all cores are busy (pair_scores sf0.1:
+        # 56s zstd vs 36s lz4). Override via TRANSLINK_IO_CODEC.
+        "spark.io.compression.codec": os.environ.get("TRANSLINK_IO_CODEC", "lz4"),
         "spark.sql.parquet.compression.codec": "zstd",
         # Arrow batching for pandas UDFs (P6).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
