@@ -38,11 +38,13 @@ def main() -> None:
 
     # Cluster-faithful memory: an N-executor cluster has N/4 the aggregate
     # memory of the 4N one (executors are fixed-size), so the JVM heap
-    # scales with the level — 0.625 GB/core reproduces the tuned 20g at 32
-    # cores. A fixed heap would hand the small level 4x the per-core memory
-    # (less spill, fewer GCs) that no real N-executor cluster has.
+    # scales with the level — 0.75 GB/core (6g at 8 cores, 24g at 32; the
+    # 16-24g band measured healthy for G1 on this box, PLANS.md). A fixed
+    # heap would hand the small level 4x the per-core memory (less spill,
+    # fewer GCs) that no real N-executor cluster has; 0.625 GB/core proved
+    # too tight (GCLocker allocation failures on repeat runs).
     os.environ.setdefault(
-        "TRANSLINK_DRIVER_MEM", f"{max(4, (args.cores * 5) // 8)}g"
+        "TRANSLINK_DRIVER_MEM", f"{max(4, (args.cores * 3) // 4)}g"
     )
     spark = get_spark(
         master=f"local[{args.cores}]",

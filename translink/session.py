@@ -49,6 +49,15 @@ def get_spark(
             if "TRANSLINK_LOCAL_DIR" in os.environ else {}
         ),
         "spark.driver.maxResultSize": "4g",
+        # JDK17's default GCLockerRetryAllocationCount=2 aborts large
+        # allocations that race a JNI critical section (parquet vectored IO
+        # holds one) with "Retried waiting for GCLocker too often" — seen at
+        # bench scale on small heaps. Retrying harder is the documented
+        # mitigation and costs nothing when uncontended.
+        "spark.driver.extraJavaOptions":
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
+        "spark.executor.extraJavaOptions":
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
         # Compression split, A/B-measured (PLANS.md): checkpoint parquet uses
         # zstd (cold data, written once, ~2x smaller than snappy — bytes at
         # rest and re-read are pure memory-bandwidth cost on this box, whose
