@@ -195,12 +195,12 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
 
     Fully vectorized (no per-row/per-bit Python): tokenize with C regex,
     hash every token of the Arrow batch in ONE ``pd.util.hash_array`` pass
-    (deterministic fixed-key siphash), expand hashes to a bit matrix with
-    ``np.unpackbits``, and vote with one segmented ``np.add.reduceat`` per
-    batch — the same pattern as the MinHash signature kernel
-    (translink.signatures.make_signature_udf). ~100x the throughput of the
-    per-token bit loop it replaces; identical semantics (votes count token
-    multiplicity; empty text -> sentinel 0).
+    (deterministic fixed-key siphash), then count votes with 64 segmented
+    1D ``np.add.reduceat`` passes over the (cache-resident) hash array —
+    one per bit. Measured ~17x the md5-per-token bit-loop it replaces and
+    ~40x a bit-matrix formulation whose (tokens, 64) int32 matrix blows the
+    cache (see PLANS.md). Identical semantics: votes count token
+    multiplicity; empty text -> sentinel 0.
     """
     import re
 
@@ -221,15 +221,17 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
             flat[pos: pos + len(toks)] = toks
             pos += len(toks)
         th = pd.util.hash_array(flat)  # uint64, one C pass for the batch
-        # bit matrix: row t, column i == bit i of token t's hash
-        bits = np.unpackbits(
-            th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        ).astype(np.int32)
         ne_lens = tlens[nonempty]
         starts = np.zeros(len(ne_lens), dtype=np.int64)
         np.cumsum(ne_lens[:-1], out=starts[1:])
-        ones = np.add.reduceat(bits, starts, axis=0)       # per-row set-bit counts
-        votes = 2 * ones - ne_lens[:, None]                # +1 per 1, -1 per 0
+        # per-bit segmented vote counts: 64 contiguous 1D reductions over
+        # the hash array (which stays L2/L3-resident), instead of one
+        # reduction over a (tokens, 64) bit matrix that thrashes the cache
+        ones = np.empty((64, len(ne_lens)), dtype=np.int64)
+        for j in range(64):
+            bit_j = ((th >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+            ones[j] = np.add.reduceat(bit_j, starts)
+        votes = 2 * ones.T - ne_lens[:, None]              # +1 per 1, -1 per 0
         packed = np.packbits(
             (votes > 0).astype(np.uint8), axis=1, bitorder="little"
         )
