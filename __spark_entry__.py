@@ -465,6 +465,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cluster_similarity"] = q_cluster_similarity
 
+    # -- q24: pairwise P/R/F1 evaluation (the north-rule metric operator,
+    #          translink.evaluate.pairwise_prf, oracle-checked arithmetic) --
+    def q_dedup_eval(spark, sf_dir):
+        """Evaluate the EXACT clustering against labeled pairs derived from
+        the planted duplicates: (c, c_dup) and (c, c_nd) are matches,
+        adjacent base conversations are non-matches. Exact clustering finds
+        the _dup pairs but not the _nd pairs, so recall < 1 — non-trivial
+        tp/fp/fn/tn arithmetic checked cross-engine."""
+        c = _spark_canonical(spark, sf_dir)
+        base = c.filter(
+            ~F.col("conv_id").endswith("_dup") & ~F.col("conv_id").endswith("_nd")
+        ).select("conv_id")
+        present = c.select(F.col("conv_id").alias("other"))
+        pos = (
+            base.select(
+                F.col("conv_id").alias("conv_id_a"),
+                F.explode(
+                    F.array(
+                        F.concat("conv_id", F.lit("_dup")),
+                        F.concat("conv_id", F.lit("_nd")),
+                    )
+                ).alias("conv_id_b"),
+            )
+            .join(present, F.col("conv_id_b") == F.col("other"), "left_semi")
+            .withColumn("is_match", F.lit(True))
+        )
+        wl = Window.orderBy("conv_id")
+        neg = (
+            base.withColumn("conv_id_b", F.lead("conv_id").over(wl))
+            .filter(F.col("conv_id_b").isNotNull())
+            .select(
+                F.col("conv_id").alias("conv_id_a"), "conv_id_b",
+                F.lit(False).alias("is_match"),
+            )
+        )
+        labels = pos.unionByName(neg)
+        cl = c.select(
+            "conv_id",
+            F.min("conv_id").over(Window.partitionBy(F.md5("canon_text")))
+            .alias("cluster_id"),
+        )
+        judged = (
+            labels
+            .join(cl.select(F.col("conv_id").alias("conv_id_a"),
+                            F.col("cluster_id").alias("_cl_a")), "conv_id_a", "left")
+            .join(cl.select(F.col("conv_id").alias("conv_id_b"),
+                            F.col("cluster_id").alias("_cl_b")), "conv_id_b", "left")
+            .withColumn(
+                "predicted",
+                F.col("_cl_a").isNotNull() & F.col("_cl_b").isNotNull()
+                & (F.col("_cl_a") == F.col("_cl_b")),
+            )
+        )
+        agg = judged.agg(
+            F.sum(F.when(F.col("predicted") & F.col("is_match"), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(F.col("predicted") & ~F.col("is_match"), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(~F.col("predicted") & F.col("is_match"), 1).otherwise(0)).alias("fn"),
+            F.sum(F.when(~F.col("predicted") & ~F.col("is_match"), 1).otherwise(0)).alias("tn"),
+        )
+        return agg.select(
+            "tp", "fp", "fn", "tn",
+            (F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)))
+            .alias("precision"),
+            (F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)))
+            .alias("recall"),
+            # integer-ratio form 2tp/(2tp+fp+fn): one division, no float
+            # composition — deterministic cross-engine
+            (2 * F.col("tp")
+             / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)))
+            .alias("f1"),
+        )
+    q["dedup_eval"] = q_dedup_eval
+
     # ===== documents-table training-data ops (SURVEY §2.3 kernels) =======
 
     def _docs(spark, sf_dir):
@@ -801,6 +874,56 @@ SELECT z.cluster_id, z.n_members,
        coalesce(i.mean_similarity, 1.0) AS mean_similarity
 FROM sizes z LEFT JOIN intra i ON z.cluster_id = i.cluster_id
 WHERE z.n_members >= 2
+"""
+
+    o["dedup_eval"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+eval_base AS (
+  SELECT conv_id FROM canonical
+  WHERE conv_id NOT LIKE '%\\_dup' ESCAPE '\\'
+    AND conv_id NOT LIKE '%\\_nd' ESCAPE '\\'
+),
+pos AS (
+  SELECT b.conv_id AS conv_id_a, cand.conv_id_b, TRUE AS is_match
+  FROM eval_base b
+  CROSS JOIN LATERAL (VALUES (concat(b.conv_id, '_dup')),
+                             (concat(b.conv_id, '_nd'))) AS cand(conv_id_b)
+  WHERE EXISTS (SELECT 1 FROM canonical c WHERE c.conv_id = cand.conv_id_b)
+),
+neg AS (
+  SELECT conv_id AS conv_id_a,
+         lead(conv_id) OVER (ORDER BY conv_id) AS conv_id_b,
+         FALSE AS is_match
+  FROM eval_base
+  QUALIFY conv_id_b IS NOT NULL
+),
+labels AS (SELECT * FROM pos UNION ALL SELECT * FROM neg),
+cl AS (
+  SELECT conv_id,
+         min(conv_id) OVER (PARTITION BY canon_text) AS cluster_id
+  FROM canonical
+),
+judged AS (
+  SELECT l.is_match,
+         (ca.cluster_id IS NOT NULL AND cb.cluster_id IS NOT NULL
+          AND ca.cluster_id = cb.cluster_id) AS predicted
+  FROM labels l
+  LEFT JOIN cl ca ON l.conv_id_a = ca.conv_id
+  LEFT JOIN cl cb ON l.conv_id_b = cb.conv_id
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN predicted AND is_match THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN predicted AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN NOT predicted AND is_match THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN NOT predicted AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM judged
+)
+SELECT tp, fp, fn, tn,
+       tp / greatest(tp + fp, 1) AS precision,
+       tp / greatest(tp + fn, 1) AS recall,
+       2 * tp / greatest(2 * tp + fp + fn, 1) AS f1
+FROM agg
 """
 
     docs_cte = """

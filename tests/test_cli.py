@@ -1,0 +1,80 @@
+"""CLI surface end-to-end: report mode, remove mode, config-file loading —
+the reference's primary interface (clap CLI ``src/main.rs:23-57``,
+OperationMode ``src/config.rs:41-47``)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from translink.cli import build_parser, config_from_args, main
+
+
+@pytest.fixture(scope="module")
+def input_parquet(spark, tiny, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "transcripts")
+    tiny["transcripts"].write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_report_mode_json(spark, input_parquet, tmp_path, capsys):
+    out = str(tmp_path / "report_json")
+    rc = main([
+        "--input", input_parquet, "--output", out, "--format", "json",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_records"] > 0 and stats["output"] == out
+    written = spark.read.json(out)
+    assert written.count() == stats["n_records"]
+    assert "is_primary" in written.columns
+
+
+def test_remove_mode_writes_deduplicated_dataset(spark, input_parquet, tmp_path, capsys):
+    out = str(tmp_path / "deduped")
+    rc = main([
+        "--input", input_parquet, "--mode", "remove", "--output", out,
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = spark.read.parquet(out)
+    # one row per cluster, no conv_id twice, fewer rows than input convs
+    assert kept.count() == stats["n_clusters"] == stats["kept"]
+    assert kept.select("conv_id").distinct().count() == kept.count()
+    n_convs = spark.read.parquet(input_parquet).select("conv_id").distinct().count()
+    assert kept.count() < n_convs  # the fixture plants duplicates
+
+
+def test_remove_mode_requires_output(input_parquet):
+    with pytest.raises(SystemExit):
+        main(["--input", input_parquet, "--mode", "remove"])
+
+
+def test_text_report_format(spark, input_parquet, tmp_path, capsys):
+    out = str(tmp_path / "report.txt")
+    rc = main([
+        "--input", input_parquet, "--output", out, "--format", "text",
+    ])
+    assert rc == 0
+    txt = open(out).read()
+    assert "translink deduplication report" in txt
+    assert "legend: [*] primary (kept)" in txt
+
+
+def test_config_file_and_env_reach_pipeline(tmp_path, monkeypatch):
+    cfg_file = tmp_path / "t.yaml"
+    cfg_file.write_text("threshold: 0.9\nmin_turns: 2\n")
+    args = build_parser().parse_args(
+        ["--input", "x", "--config", str(cfg_file)]
+    )
+    monkeypatch.setenv("TRANSLINK_MAX_BLOCK_SIZE", "32")
+    cfg = config_from_args(args)
+    assert cfg.threshold == 0.9
+    assert cfg.min_turns == 2
+    assert cfg.max_block_size == 32     # env override
+    # CLI flag outranks file and env
+    args2 = build_parser().parse_args(
+        ["--input", "x", "--config", str(cfg_file), "--threshold", "0.5"]
+    )
+    assert config_from_args(args2).threshold == 0.5
