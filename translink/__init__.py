@@ -12,11 +12,13 @@ reference's ``PipelineStage`` contract, reference ``src/pipeline/mod.rs:38-50``)
 
   canonicalize -> signatures -> blocking -> candidates -> scoring -> clustering
 
-All hot-path logic is JVM-side ``pyspark.sql.functions``; the only Python UDF is
-an Arrow-batched pandas UDF for Jaro-Winkler (no per-row Python anywhere).
+All hot-path logic is JVM-side ``pyspark.sql.functions``; where codegen can't
+express a kernel (k-permutation MinHash, hashed shingles, SimHash votes,
+Jaro-Winkler, ANN buckets/cosine) it runs as an Arrow-batched, numpy-vectorized
+pandas UDF — no per-row Python anywhere.
 """
 
-from translink.config import LinkConfig, PROFILES
+from translink.config import LinkConfig, PROFILES, load_config
 from translink.session import get_spark
 from translink.canonicalize import canonicalize
 from translink.signatures import with_exact_digest, with_minhash
@@ -26,12 +28,14 @@ from translink.scoring import score_pairs
 from translink.clustering import connected_components, exact_clusters
 from translink.evaluate import pairwise_prf
 from translink.pipeline import run_pipeline
+from translink.report import cluster_report, deduplicate, elect_primary
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
-    "LinkConfig", "PROFILES", "get_spark", "canonicalize",
+    "LinkConfig", "PROFILES", "load_config", "get_spark", "canonicalize",
     "with_exact_digest", "with_minhash", "with_block_key", "with_salt",
     "lsh_band_keys", "candidate_pairs", "lsh_candidate_pairs", "score_pairs",
     "connected_components", "exact_clusters", "pairwise_prf", "run_pipeline",
+    "cluster_report", "deduplicate", "elect_primary",
 ]

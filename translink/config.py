@@ -94,12 +94,21 @@ class LinkConfig:
             raise ValueError("min_turns >= 0, turn_text_cap >= 1, cc_max_iterations >= 1")
         return self
 
+    #: Engine schema/semantics version — bump whenever a stage's output
+    #: schema or signature family changes (e.g. 2: minhash_sketch replaced
+    #: minhash_tagged). Folded into the checkpoint fingerprint so a resume
+    #: NEVER reads a stage written by an incompatible engine version.
+    ENGINE_VERSION = 2
+
     def fingerprint(self) -> str:
-        """Deterministic digest of the config — part of every stage's
-        checkpoint identity (resume only reuses a stage written under an
-        identical config; F6 idempotence semantics,
-        src/pipeline/streaming_quickcheck.rs:112-114)."""
-        payload = json.dumps(asdict(self), sort_keys=True)
+        """Deterministic digest of the config + engine version — part of
+        every stage's checkpoint identity (resume only reuses a stage
+        written under an identical config by the same engine version; F6
+        idempotence semantics, src/pipeline/streaming_quickcheck.rs:112-114)."""
+        payload = json.dumps(
+            {"engine_version": self.ENGINE_VERSION, **asdict(self)},
+            sort_keys=True,
+        )
         return hashlib.md5(payload.encode()).hexdigest()[:16]
 
     @property
