@@ -78,3 +78,53 @@ def test_config_file_and_env_reach_pipeline(tmp_path, monkeypatch):
         ["--input", "x", "--config", str(cfg_file), "--threshold", "0.5"]
     )
     assert config_from_args(args2).threshold == 0.5
+
+
+def test_interactive_select_answers(spark, tiny):
+    """Interactive mode honors per-group answers: y drops, n keeps,
+    a drops everything remaining, q stops."""
+    from translink.canonicalize import canonicalize
+    from translink.clustering import clusters_with_singletons, exact_clusters
+    from translink.config import LinkConfig
+    from translink.report import elect_primary, interactive_select
+    from translink.signatures import with_exact_digest
+
+    canonical = canonicalize(tiny["transcripts"], LinkConfig())
+    signed = with_exact_digest(canonical)
+    clusters = clusters_with_singletons(
+        signed.select("conv_id"),
+        exact_clusters(signed).select("conv_id", "cluster_id"),
+    )
+    members = elect_primary(clusters, canonical).cache()
+    n_groups = members.filter(~members.is_primary).select("cluster_id") \
+        .distinct().count()
+    assert n_groups >= 3
+
+    # 'n' to the first group, 'a' to the second -> all groups except the
+    # first contribute their duplicates
+    answers = iter(["n", "a"])
+    drop = interactive_select(members, input_fn=lambda _: next(answers))
+    all_dups = members.filter(~members.is_primary).count()
+    first_group_kept = len(drop) < all_dups
+    assert first_group_kept and len(drop) > 0
+
+    # 'q' immediately -> nothing dropped
+    drop_q = interactive_select(members, input_fn=lambda _: "q")
+    assert drop_q == []
+
+    # default (empty answer) -> drop every group's duplicates
+    drop_all = interactive_select(members, input_fn=lambda _: "")
+    assert len(drop_all) == all_dups
+
+
+def test_interactive_mode_cli(spark, input_parquet, tmp_path, capsys, monkeypatch):
+    out = str(tmp_path / "inter")
+    monkeypatch.setattr("builtins.input", lambda _="": "a")
+    rc = main([
+        "--input", input_parquet, "--mode", "interactive", "--output", out,
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = spark.read.parquet(out)
+    assert kept.count() == stats["n_records"] - stats["dropped"]
+    assert stats["dropped"] > 0

@@ -34,10 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint/lineage directory (enables resume)")
     p.add_argument("--output", default=None, help="report output path")
     p.add_argument("--format", choices=["json", "csv", "text"], default="json")
-    p.add_argument("--mode", choices=["report", "remove"], default="report",
+    p.add_argument("--mode", choices=["report", "remove", "interactive"],
+                   default="report",
                    help="report: describe duplicate groups; remove: write "
                         "the deduplicated dataset (one primary per cluster) "
-                        "to --output (reference OperationMode, "
+                        "to --output; interactive: confirm each group on the "
+                        "console before dropping (reference OperationMode, "
                         "src/config.rs:41-47)")
     p.add_argument("--config", default=None,
                    help="YAML config file (translink.config.load_config)")
@@ -105,6 +107,23 @@ def main(argv: list[str] | None = None) -> int:
         kept.write.mode("overwrite").parquet(args.output)
         stats["output"] = args.output
         stats["kept"] = stats["n_clusters"]
+    elif args.mode == "interactive":
+        if not args.output:
+            raise SystemExit("--mode interactive requires --output")
+        from pyspark.sql import functions as F
+
+        from translink.report import interactive_select
+
+        drop = interactive_select(members)
+        drop_df = spark.createDataFrame(
+            [(c,) for c in drop] or [(None,)], "conv_id string"
+        ).filter(F.col("conv_id").isNotNull())
+        kept = members.join(drop_df, "conv_id", "left_anti").select(
+            "conv_id", "cluster_id", "n_turns", "total_chars", "max_ts"
+        )
+        kept.write.mode("overwrite").parquet(args.output)
+        stats["output"] = args.output
+        stats["dropped"] = len(drop)
     elif args.output:
         write_report(members, args.output, fmt=args.format)
         stats["output"] = args.output

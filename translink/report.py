@@ -85,6 +85,70 @@ def cluster_report(members: DataFrame, scored: DataFrame | None = None) -> DataF
     )
 
 
+def interactive_select(
+    members: DataFrame,
+    input_fn=None,
+    max_groups: int = 200,
+) -> list:
+    """Interactive per-group confirmation (reference
+    ``OperationMode::Interactive``, ``src/config.rs:41-47``): walk duplicate
+    groups ranked by savings, show the aligned member listing, and ask
+    whether to drop the non-primary members. Returns the conv_ids to drop.
+
+    Driver-side by design — an interactive prompt is a driver artifact; the
+    listing is capped at ``max_groups`` so the collect stays bounded.
+    Answers: ``y``/empty = drop duplicates of this group, ``n`` = keep all,
+    ``a`` = drop for this and every remaining group, ``q`` = keep everything
+    from here on.
+    """
+    if input_fn is None:
+        input_fn = input  # bound at call time so tests can monkeypatch it
+    w = Window.partitionBy("cluster_id")
+    groups = (
+        members
+        .withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") >= 2)
+        .withColumn(
+            "_savings",
+            F.sum(F.when(~F.col("is_primary"), F.col("total_chars"))
+                  .otherwise(F.lit(0))).over(w),
+        )
+        .orderBy(F.col("_savings").desc(), F.col("cluster_id").asc(),
+                 F.col("is_primary").desc(), F.col("conv_id").asc())
+        .select("cluster_id", "conv_id", "total_chars", "is_primary", "_savings")
+        .limit(max_groups * 64)
+        .collect()
+    )
+    by_cluster: dict = {}
+    order: list = []
+    for r in groups:
+        if r["cluster_id"] not in by_cluster:
+            if len(order) >= max_groups:
+                break
+            by_cluster[r["cluster_id"]] = []
+            order.append(r["cluster_id"])
+        by_cluster[r["cluster_id"]].append(r)
+    to_drop: list = []
+    drop_all = False
+    for i, cid in enumerate(order, 1):
+        rows = by_cluster[cid]
+        if not drop_all:
+            print(f"group {i}/{len(order)}  cluster={cid}  "
+                  f"savings={rows[0]['_savings']} chars")
+            for r in rows:
+                marker = "*" if r["is_primary"] else " "
+                print(f"  [{marker}] {r['conv_id']:<32} chars={r['total_chars']}")
+            ans = (input_fn("drop duplicates? [Y/n/a/q] ") or "y").strip().lower()
+            if ans == "q":
+                break
+            if ans == "a":
+                drop_all = True
+            elif ans == "n":
+                continue
+        to_drop.extend(r["conv_id"] for r in rows if not r["is_primary"])
+    return to_drop
+
+
 def deduplicate(members: DataFrame) -> DataFrame:
     """Remove-mode materialization (reference ``OperationMode::Remove``,
     ``src/config.rs:41-47``; keep/removable semantics
