@@ -72,3 +72,21 @@ def test_resume_invalidated_by_input_overwrite(spark, tiny, tmp_path):
     assert n2 > n1, "stale checkpoint reused after input overwrite"
     # and the recompute actually happened (timings non-zero for stage 0)
     assert second["timings"]["canonical"] > 0.0
+
+
+def test_remote_style_root_manifest_and_resume(spark, tiny, tmp_path):
+    """A '://' root routes manifest IO through the Hadoop FileSystem API
+    (the round-1 bug: local open() crashed AFTER the stage parquet was
+    persisted, leaving data without lineage). file:// exercises the same
+    code path against the local FS: lineage must be recorded and a rerun
+    must reuse every stage."""
+    root = f"file://{tmp_path}/remote_wd"
+    t = tiny["transcripts"]
+    first = run_pipeline(spark, t, LinkConfig(), workdir=root)
+    lineage = first["catalog"].lineage()
+    assert set(lineage) == {"canonical", "signed", "pairs", "scored",
+                            "clusters", "members"}
+    assert all(v["rows"] >= 0 and v["fingerprint"] for v in lineage.values())
+    second = run_pipeline(spark, t, LinkConfig(), workdir=root)
+    assert all(v == 0.0 for v in second["timings"].values()), second["timings"]
+    assert second["clusters"].count() == first["clusters"].count()
