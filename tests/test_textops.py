@@ -85,6 +85,62 @@ def test_simhash_pairs(spark, docs):
     assert (0, 5) not in got
 
 
+def test_simhash_pairs_empty_doc_skew_guard(spark):
+    """Planted skew: hundreds of empty docs all share the sentinel simhash 0
+    and would collide on ALL FOUR chunk keys — a planted n^2 hot bucket.
+    The sentinel route-off must (a) keep them out of the chunk join entirely
+    and (b) leave the non-empty pair output unchanged; the salt bound caps
+    every surviving chunk block."""
+    from translink.blocking import with_salt
+
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "completely different words entirely unrelated content here"),
+    ]
+    planted = base + [(100 + i, "") for i in range(500)]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in planted],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    cfg = LinkConfig(max_block_size=64)
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in doc_simhash_pairs(df, max_hamming=3, cfg=cfg).collect()
+    }
+    # empty docs never pair here (they belong to doc_exact_dup_clusters)...
+    assert all(a < 100 and b < 100 for a, b in got)
+    # ...and the non-empty output is exactly the no-skew baseline
+    assert got == {(0, 1): 0}
+    # the salt bound holds on the chunk blocks that DO reach the join
+    sh = doc_simhash(df).filter(F.col("simhash") != 0)
+    chunks = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), i -> cast(shiftright(simhash, i * 16) & 65535 as int))"
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    salted = with_salt(chunks, ["chunk_id", "chunk"], cfg, id_col="doc_id")
+    per_sub = (
+        salted.groupBy("chunk_id", "chunk", "salt").count().agg(F.max("count")).first()[0]
+    )
+    assert per_sub <= cfg.max_block_size
+
+
+def test_exact_dup_digest_window_null_and_empty(spark):
+    """Digest-keyed window (xxhash64+md5 instead of raw text): same clusters,
+    and null text never merges with empty text."""
+    df = spark.createDataFrame(
+        [(0, "x"), (1, "x"), (2, ""), (3, ""), (4, None), (5, None), (6, "y")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["cluster_id"], r["group_size"])
+           for r in doc_exact_dup_clusters(df).collect()}
+    assert got == {(0, 0, 2), (1, 0, 2), (2, 2, 2), (3, 2, 2), (4, 4, 2), (5, 4, 2)}
+
+
 def test_entropy_ordering(spark):
     """Uniform character distribution has maximal entropy; repetitive text
     lower; single-symbol zero (the reference's entropy tests,

@@ -37,8 +37,16 @@ def _parallelism(df: DataFrame) -> int:
 # -- exact dedup (A1+A5 hash-and-group) ------------------------------------
 
 def doc_exact_dup_clusters(docs: DataFrame) -> DataFrame:
-    """Byte-identical documents -> (doc_id, cluster_id, group_size)."""
-    w = Window.partitionBy("text")
+    """Byte-identical documents -> (doc_id, cluster_id, group_size).
+
+    The window partitions on BOTH digests of the text (xxhash64 + md5, the
+    same both-digest complementarity discipline as the conversation path,
+    translink/clustering.py) rather than on the raw text: the shuffle then
+    moves ~40 bytes of key per row instead of whole documents, and a pair
+    would have to collide on two independent hash families simultaneously
+    to merge wrongly. Null text keeps its own group (md5(NULL) is NULL,
+    distinct from md5(''))."""
+    w = Window.partitionBy(F.xxhash64("text"), F.md5("text"))
     return (
         docs.select(
             _ID,
@@ -243,15 +251,30 @@ def doc_simhash(docs: DataFrame) -> DataFrame:
     return docs.select(_ID, simhash64_udf(F.col("text")).alias("simhash"))
 
 
-def doc_simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def doc_simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    cfg: LinkConfig | None = None,
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
 
     Banding: the 64-bit hash splits into 4 x 16-bit chunks; by pigeonhole any
     pair within Hamming distance 3 shares at least one exact chunk, so the
     join runs on chunk buckets and the full Hamming distance verifies.
-    Exact for max_hamming <= 3; approximate (banding recall) above. Scales
-    with bucket sizes, not n^2."""
-    sh = doc_simhash(docs)
+    Exact for max_hamming <= 3; approximate (banding recall) above.
+
+    Skew guard (P8, same discipline as every other blocking join in the
+    engine): (1) rows with the empty-text sentinel ``simhash == 0`` are
+    routed OFF this path entirely — byte-identical empty/near-empty docs
+    belong to ``doc_exact_dup_clusters``, and leaving them here plants one
+    n^2 hot bucket that collides on ALL FOUR chunks (the reference bounds
+    every grouping stage the same way, src/pipeline/streaming_hash.rs:132-202);
+    (2) the chunk keys are salted with ``with_salt`` so no single (chunk_id,
+    chunk) bucket joins more than ``cfg.max_block_size`` rows per sub-block.
+    Pairs across salt sub-blocks of an oversized bucket are sacrificed —
+    observable via translink.blocking.oversized_blocks."""
+    cfg = cfg or LinkConfig()
+    sh = doc_simhash(docs).filter(F.col("simhash") != 0)
     chunks = sh.select(
         _ID, "simhash",
         F.posexplode(
@@ -260,13 +283,17 @@ def doc_simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("chunk_id", "chunk"),
     )
+    salted = with_salt(chunks, ["chunk_id", "chunk"], cfg, id_col=_ID).select(
+        _ID, "simhash", "chunk_id", "chunk", "salt"
+    )
     cand = (
-        chunks.alias("a")
+        salted.alias("a")
         .join(
-            chunks.alias("b"),
+            salted.alias("b"),
             on=[
                 F.col("a.chunk_id") == F.col("b.chunk_id"),
                 F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.salt") == F.col("b.salt"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )
