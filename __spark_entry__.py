@@ -579,8 +579,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #          reference src/pipeline/stats.rs:353-359 + :156-183) ---------
     def q_doc_entropy(spark, sf_dir):
         from translink.textops import doc_entropy
-        return doc_entropy(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        # method='expr': explode + hash-aggregate, bit-reproducible in the
+        # DuckDB oracle; the public default is the Arrow kernel (same values
+        # to float ulp, zero shuffle — benched as doc_entropy_fast).
+        return doc_entropy(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), method="expr"
+        )
     q["doc_entropy"] = q_doc_entropy
+
+    # -- q23b: entropy via the Arrow kernel (the scale path: one map pass,
+    #          no per-character shuffle; pytest-parity vs the expr form) ---
+    def q_doc_entropy_fast(spark, sf_dir):
+        from translink.textops import doc_entropy
+        return doc_entropy(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), method="arrow"
+        )
+    q["doc_entropy_fast"] = q_doc_entropy_fast
 
     # -- q14: language-ID heuristic (H4 MIME-detection analog) ------------
     def q_langid(spark, sf_dir):

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "doc_jaccard_pairs_fast",
     "doc_simhash_pairs",
     "doc_entropy",
+    "doc_entropy_fast",
     "dedup_keep_list",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",

@@ -172,6 +172,36 @@ def test_entropy_ordering(spark):
                 + r["n_punct"] + r["n_other"]) == r["n_chars_measured"]
 
 
+def test_entropy_arrow_parity(spark):
+    """The Arrow kernel (public default, zero shuffle) must match the
+    expression form (oracle path) value-for-value: identical integer class
+    counts, entropy equal to float ulp (identical summation order — counts
+    ascending by codepoint)."""
+    from translink.textops import doc_entropy
+
+    rows = [
+        (0, "abcdefgh"),
+        (1, "aaaaaaab"),
+        (2, ""),
+        (3, None),
+        (4, "aAbB 12!\t\n~[`{"),
+        (5, "héllo wörld ünïcode ✓ — dash"),   # non-ASCII codepoints
+        (6, "the quick brown fox " * 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {r["doc_id"]: r for r in doc_entropy(df, method="expr").collect()}
+    arrow = {r["doc_id"]: r for r in doc_entropy(df, method="arrow").collect()}
+    assert expr.keys() == arrow.keys()
+    for k in expr:
+        e, a = expr[k], arrow[k]
+        for col in ("n_chars_measured", "n_lower", "n_upper", "n_digit",
+                    "n_space", "n_punct", "n_other"):
+            assert a[col] == e[col], (k, col, a[col], e[col])
+        assert abs(a["entropy_bits"] - e["entropy_bits"]) <= 2e-9, (
+            k, a["entropy_bits"], e["entropy_bits"]
+        )
+
+
 def test_langid(spark, docs):
     got = {r["doc_id"]: r["lang_guess"] for r in doc_langid(docs).collect()}
     assert got[0] == "en"
