@@ -98,6 +98,46 @@ def test_cluster_report_group_similarity(spark, members):
     assert rep2["cl2"] == 1.0               # exact cluster, no scored pairs
 
 
+def _big_cluster_members(spark, n_big=100):
+    """One 100-member cluster (bigger than the old 64-rows-per-group cap),
+    plus a smaller cluster, as an elect_primary-shaped members table."""
+    rows = [(f"big{i:03d}", "clbig", 5, 100, None, i == 0) for i in range(n_big)]
+    rows += [(f"sm{i}", "clsm", 3, 50, None, i == 0) for i in range(3)]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, cluster_id string, n_turns long, total_chars long, "
+        "max_ts timestamp, is_primary boolean",
+    )
+
+
+def test_interactive_drop_covers_full_large_cluster(spark):
+    """A cluster with >64 members must be listed and dropped IN FULL — the
+    old global row cap (max_groups * 64) silently kept its unlisted
+    non-primary tail."""
+    from translink.report import interactive_select
+
+    m = _big_cluster_members(spark)
+    answers = iter(["y", "y"])
+    dropped = interactive_select(m, input_fn=lambda _: next(answers), max_groups=2)
+    assert set(dropped) == {f"big{i:03d}" for i in range(1, 100)} | {"sm1", "sm2"}
+
+
+def test_text_report_never_truncates_a_cluster(spark):
+    txt = format_text_report(_big_cluster_members(spark), max_groups=2)
+    # every one of the 100 members of the big cluster is listed
+    for i in range(100):
+        assert f"big{i:03d}" in txt
+    assert "sm0" in txt and "sm2" in txt
+
+
+def test_text_report_caps_cluster_count_not_rows(spark):
+    """max_groups bounds CLUSTERS (ranked by savings); the lower-savings
+    cluster falls out whole, never partially."""
+    txt = format_text_report(_big_cluster_members(spark), max_groups=1)
+    assert "big099" in txt
+    assert "sm0" not in txt and "sm1" not in txt
+
+
 def test_text_report_golden_substrings(spark, members):
     txt = format_text_report(members)
     assert "translink deduplication report" in txt

@@ -85,6 +85,40 @@ def cluster_report(members: DataFrame, scored: DataFrame | None = None) -> DataF
     )
 
 
+def _top_cluster_members(
+    members: DataFrame, max_groups: int, cols: list[str]
+) -> list:
+    """Full membership of the top-``max_groups`` duplicate clusters ranked by
+    savings, collected driver-side in listing order.
+
+    Two steps so no cluster is ever truncated mid-listing: (1) a CLUSTER-level
+    rank-and-limit (aggregate rows, one per cluster — bounded by max_groups),
+    then (2) the full member sets of exactly those clusters join back and
+    collect. The former row cap (``limit(max_groups * 64)``) silently cut
+    clusters with >64 members — in interactive mode their unlisted
+    non-primary tail was then never dropped."""
+    ranked = (
+        members
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.when(~F.col("is_primary"), F.col("total_chars"))
+                  .otherwise(F.lit(0))).alias("_savings"),
+        )
+        .filter(F.col("_n") >= 2)
+        .orderBy(F.col("_savings").desc(), F.col("cluster_id").asc())
+        .limit(max_groups)
+    )
+    return (
+        members
+        .join(ranked.select("cluster_id", "_savings"), "cluster_id")
+        .orderBy(F.col("_savings").desc(), F.col("cluster_id").asc(),
+                 F.col("is_primary").desc(), F.col("conv_id").asc())
+        .select(*cols)
+        .collect()
+    )
+
+
 def interactive_select(
     members: DataFrame,
     input_fn=None,
@@ -103,28 +137,14 @@ def interactive_select(
     """
     if input_fn is None:
         input_fn = input  # bound at call time so tests can monkeypatch it
-    w = Window.partitionBy("cluster_id")
-    groups = (
-        members
-        .withColumn("_n", F.count("*").over(w))
-        .filter(F.col("_n") >= 2)
-        .withColumn(
-            "_savings",
-            F.sum(F.when(~F.col("is_primary"), F.col("total_chars"))
-                  .otherwise(F.lit(0))).over(w),
-        )
-        .orderBy(F.col("_savings").desc(), F.col("cluster_id").asc(),
-                 F.col("is_primary").desc(), F.col("conv_id").asc())
-        .select("cluster_id", "conv_id", "total_chars", "is_primary", "_savings")
-        .limit(max_groups * 64)
-        .collect()
+    groups = _top_cluster_members(
+        members, max_groups,
+        ["cluster_id", "conv_id", "total_chars", "is_primary", "_savings"],
     )
     by_cluster: dict = {}
     order: list = []
     for r in groups:
         if r["cluster_id"] not in by_cluster:
-            if len(order) >= max_groups:
-                break
             by_cluster[r["cluster_id"]] = []
             order.append(r["cluster_id"])
         by_cluster[r["cluster_id"]].append(r)
@@ -204,26 +224,10 @@ def format_text_report(members: DataFrame, max_groups: int = 50) -> str:
     at any corpus size.
     """
     stats = global_stats(members)
-    w = Window.partitionBy("cluster_id")
-    groups = (
-        members
-        .withColumn("_n", F.count("*").over(w))
-        .filter(F.col("_n") >= 2)
-        .withColumn(
-            "_savings",
-            F.sum(F.when(~F.col("is_primary"), F.col("total_chars"))
-                  .otherwise(F.lit(0))).over(w),
-        )
-    )
-    rows = (
-        groups.orderBy(
-            F.col("_savings").desc(), F.col("cluster_id").asc(),
-            F.col("is_primary").desc(), F.col("conv_id").asc(),
-        )
-        .select("cluster_id", "conv_id", "n_turns", "total_chars",
-                "max_ts", "is_primary", "_savings")
-        .limit(max_groups * 64)
-        .collect()
+    rows = _top_cluster_members(
+        members, max_groups,
+        ["cluster_id", "conv_id", "n_turns", "total_chars",
+         "max_ts", "is_primary", "_savings"],
     )
     lines = [
         "translink deduplication report",
@@ -240,8 +244,6 @@ def format_text_report(members: DataFrame, max_groups: int = 50) -> str:
     seen: set = set()
     for r in rows:
         if r["cluster_id"] not in seen:
-            if len(seen) >= max_groups:
-                break
             seen.add(r["cluster_id"])
             gid += 1
             lines.append(
