@@ -97,3 +97,40 @@ def test_env_overrides_file(tmp_path):
 def test_env_invalid_value_rejected():
     with pytest.raises(ValueError, match="threshold"):
         load_config(env={f"{ENV_PREFIX}THRESHOLD": "7"})
+
+
+def test_env_typo_rejected():
+    """A typo'd TRANSLINK_* override must fail fast, not silently no-op —
+    same policy as unknown YAML keys."""
+    with pytest.raises(ValueError, match="TRANSLINK_TRESHOLD"):
+        load_config(env={"TRANSLINK_TRESHOLD": "0.8"})
+
+
+def test_env_runtime_vars_ignored():
+    """Runtime/session knobs (spark.local.dir, codec, heap) are not
+    LinkConfig fields and must pass through without error."""
+    cfg = load_config(env={
+        "TRANSLINK_LOCAL_DIR": "/dev/shm/x",
+        "TRANSLINK_IO_CODEC": "zstd",
+        "TRANSLINK_DRIVER_MEM": "12g",
+    })
+    assert cfg == LinkConfig()
+
+
+def test_env_coerces_by_annotation_over_none_base():
+    """Coercion follows the field's type annotation, not the current value:
+    an int|None field whose base value is None still gets an int, and the
+    'none' literal clears it."""
+    cfg = load_config(
+        env={"TRANSLINK_ATTR_MAX_CHARS": "1024"},
+        base=dataclasses.replace(LinkConfig(), attr_max_chars=None),
+    )
+    assert cfg.attr_max_chars == 1024
+    cfg2 = load_config(env={"TRANSLINK_ATTR_MAX_CHARS": "none"})
+    assert cfg2.attr_max_chars is None
+
+
+def test_stream_redelivery_validation():
+    with pytest.raises(ValueError, match="stream_redelivery"):
+        LinkConfig(stream_redelivery="bogus").validate()
+    assert LinkConfig(stream_redelivery="replace").validate()

@@ -99,6 +99,59 @@ def test_split_conversation_repaired_at_read(spark, tiny, tmp_path):
     assert streamed["n_turns"] == batch["n_turns"]
 
 
+def test_replacement_redelivery_drops_deleted_turns(spark, tmp_path):
+    """A conversation re-delivered WHOLE with turns removed (redaction) must
+    read back as the latest delivery only: merge-only semantics would keep
+    the stale turns 2-3 and the repaired digest would cover deleted content.
+    'auto' classifies the newest batch as a replacement (turn 0 + contiguous
+    range); 'merge' keeps the old union semantics on request."""
+    import datetime
+
+    from translink.canonicalize import canonicalize
+    from translink.signatures import with_exact_digest
+
+    landing = str(tmp_path / "landing4")
+    store = str(tmp_path / "store4")
+    ckpt = str(tmp_path / "ckpt4")
+    os.makedirs(landing)
+    ts = datetime.datetime(2026, 1, 1)
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp")
+    original = spark.createDataFrame(
+        [("A", i, "user", f"turn {i} secret-{i}", None, ts) for i in range(4)]
+        + [("B", 0, "user", "bystander", None, ts)],
+        ddl,
+    )
+    redacted = spark.createDataFrame(
+        [("A", i, "user", f"turn {i} secret-{i}", None, ts) for i in range(2)],
+        ddl,
+    )
+    original.coalesce(1).write.parquet(os.path.join(landing, "d0"))
+    q = incremental_signatures(
+        spark, os.path.join(landing, "*"), store, ckpt, available_now=True
+    )
+    q.awaitTermination(300)
+    redacted.coalesce(1).write.parquet(os.path.join(landing, "d1"))
+    q2 = incremental_signatures(
+        spark, os.path.join(landing, "*"), store, ckpt, available_now=True
+    )
+    q2.awaitTermination(300)
+
+    def digest_of(df, cfg):
+        return with_exact_digest(canonicalize(df, cfg)).first()["digest_md5"]
+
+    # default (auto): A == batch run over the LATEST delivery (2 turns)
+    got = read_signature_store(spark, store).filter(F.col("conv_id") == "A").first()
+    assert got["n_turns"] == 2
+    assert got["digest_md5"] == digest_of(redacted, LinkConfig())
+    # explicit merge: union semantics (all 4 turns survive)
+    cfg_m = LinkConfig(stream_redelivery="merge")
+    got_m = read_signature_store(spark, store, cfg_m) \
+        .filter(F.col("conv_id") == "A").first()
+    assert got_m["n_turns"] == 4
+    assert got_m["digest_md5"] == digest_of(original.filter("conv_id = 'A'"), cfg_m)
+
+
 def test_incremental_recluster_matches_batch(spark, tiny, tmp_path):
     """Two drops + affected-component re-clustering == one-shot batch
     clustering over the merged corpus (byte-identical labels)."""

@@ -61,6 +61,17 @@ class LinkConfig:
     threshold: float = 0.70
     # ---- clustering (stage 5) -------------------------------------------
     cc_max_iterations: int = 50
+    # ---- streaming ingestion (T5/T6) ------------------------------------
+    # How read_signature_store treats a conv_id that arrived in MULTIPLE
+    # batches:
+    #   'merge'   — union turns, per-(conv_id, turn_idx) latest batch wins.
+    #               Correct for split/append delivery; CANNOT represent turn
+    #               deletion (a replacement re-delivery with turns removed
+    #               keeps the stale turns).
+    #   'replace' — the newest batch fully replaces earlier ones.
+    #   'auto'    — replace when the newest batch is a complete delivery
+    #               (contains turn 0 and a contiguous turn range), else merge.
+    stream_redelivery: str = "auto"
     # ---- execution ------------------------------------------------------
     shuffle_partitions: int = 32
     arrow_batch_size: int = 10_000
@@ -90,6 +101,11 @@ class LinkConfig:
             raise ValueError("similarity weights must sum to > 0")
         if self.salt_mode not in ("hash", "rank"):
             raise ValueError(f"salt_mode must be 'hash' or 'rank', got {self.salt_mode!r}")
+        if self.stream_redelivery not in ("auto", "merge", "replace"):
+            raise ValueError(
+                "stream_redelivery must be 'auto', 'merge' or 'replace', "
+                f"got {self.stream_redelivery!r}"
+            )
         if self.min_turns < 0 or self.turn_text_cap < 1 or self.cc_max_iterations < 1:
             raise ValueError("min_turns >= 0, turn_text_cap >= 1, cc_max_iterations >= 1")
         return self
@@ -124,17 +140,32 @@ class LinkConfig:
 ENV_PREFIX = "TRANSLINK_"
 
 
-def _coerce(name: str, raw: str, current):
-    """Coerce a string override to the field's dataclass type."""
-    if current is None or isinstance(current, str):
+#: TRANSLINK_* names that are runtime/session knobs, not LinkConfig fields —
+#: consumed by session.py / bench harnesses, never an error in load_config.
+RUNTIME_ENV_VARS = frozenset({
+    "TRANSLINK_LOCAL_DIR", "TRANSLINK_IO_CODEC", "TRANSLINK_DRIVER_MEM",
+})
+
+
+def _coerce(name: str, raw: str, annotation: str):
+    """Coerce a string override by the field's TYPE ANNOTATION (not the
+    current value — a base of None says nothing about the field's type, and
+    e.g. TRANSLINK_ATTR_MAX_CHARS over attr_max_chars=None must still
+    produce an int)."""
+    ann = annotation.replace(" ", "")
+    optional = "|None" in ann or ann.startswith("Optional[")
+    base = ann.replace("|None", "").replace("Optional[", "").rstrip("]")
+    if optional and raw.lower() in ("none", "null", ""):
+        return None
+    if base == "str":
         return raw
-    if isinstance(current, bool):
+    if base == "bool":
         return raw.lower() in ("1", "true", "yes")
-    if isinstance(current, int):
+    if base == "int":
         return int(raw)
-    if isinstance(current, float):
+    if base == "float":
         return float(raw)
-    raise ValueError(f"cannot coerce config field {name} from {raw!r}")
+    raise ValueError(f"cannot coerce config field {name} ({annotation}) from {raw!r}")
 
 
 def load_config(
@@ -151,7 +182,7 @@ def load_config(
     import os as _os
 
     cfg = base or LinkConfig()
-    fields = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)}
+    fields = {f.name: str(f.type) for f in dataclasses.fields(cfg)}
     overrides: dict = {}
     if path:
         import yaml
@@ -166,11 +197,17 @@ def load_config(
             overrides[k] = v
     env = dict(_os.environ) if env is None else env
     for k, raw in env.items():
-        if not k.startswith(ENV_PREFIX):
+        if not k.startswith(ENV_PREFIX) or k in RUNTIME_ENV_VARS:
             continue
         name = k[len(ENV_PREFIX):].lower()
-        if name in fields:
-            overrides[name] = _coerce(name, raw, fields[name])
+        if name not in fields:
+            # a typo'd override (TRANSLINK_TRESHOLD=...) silently doing
+            # nothing is worse than failing fast — same policy as YAML keys
+            raise ValueError(
+                f"unknown TRANSLINK_* environment override: {k} "
+                f"(no LinkConfig field {name!r})"
+            )
+        overrides[name] = _coerce(name, raw, fields[name])
     return dataclasses.replace(cfg, **overrides).validate()
 
 

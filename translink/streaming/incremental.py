@@ -106,12 +106,24 @@ def read_signature_store(
     """One complete signature row per conv_id from the append-only store.
 
     Conversations whose rows all landed in a single batch use their streamed
-    signature directly. A conv_id that appears in MULTIPLE batches (split
-    delivery, or re-delivery of an updated conversation) is re-canonicalized
-    from the turn store — per-(conv_id, turn_idx) the latest batch wins — so
-    its digest/minhash cover the full merged conversation instead of a
-    per-batch fragment. The repair cost is proportional to the split
-    conversations only, not the corpus.
+    signature directly. A conv_id that appears in MULTIPLE batches is
+    re-canonicalized from the turn store; which turns count is governed by
+    ``cfg.stream_redelivery``:
+
+      - split/append delivery (later batches carry NEW turn_idx values):
+        turns union, per-(conv_id, turn_idx) latest batch wins.
+      - replacement re-delivery (the newest batch re-ships the WHOLE
+        conversation, possibly with turns removed/redacted): the newest
+        batch replaces earlier ones entirely — merge-only semantics cannot
+        represent deletion, it would keep the stale turns.
+
+    ``'auto'`` (default) classifies per conversation: the newest batch
+    replaces iff it is a complete delivery (contains turn 0 and a contiguous
+    turn range); ``'merge'``/``'replace'`` force one behavior. A producer
+    whose PARTIAL deliveries can look complete — prefix-only corrections, or
+    out-of-order fragments where the turn-0 fragment lands last — must set
+    ``'merge'`` explicitly (and accept that deletion is then unrepresentable). The repair cost is proportional to the
+    multi-batch conversations only, not the corpus.
     """
     cfg = cfg or LinkConfig()
     sig = spark.read.parquet(os.path.join(store_dir, SIGNATURES))
@@ -125,6 +137,30 @@ def read_signature_store(
     turns = spark.read.parquet(os.path.join(store_dir, TURNS)).join(
         multi, "conv_id", "left_semi"
     )
+    if cfg.stream_redelivery != "merge":
+        last = turns.groupBy("conv_id").agg(F.max("_batch_id").alias("_last_b"))
+        newest = turns.join(last, "conv_id").filter(
+            F.col("_batch_id") == F.col("_last_b")
+        )
+        if cfg.stream_redelivery == "replace":
+            replace_ids = last.select("conv_id")
+        else:  # auto: newest batch is a complete (deletion-capable) delivery
+            replace_ids = (
+                newest.groupBy("conv_id")
+                .agg(
+                    F.min("turn_idx").alias("_mn"),
+                    F.max("turn_idx").alias("_mx"),
+                    F.countDistinct("turn_idx").alias("_nd"),
+                )
+                .filter((F.col("_mn") == 0) & (F.col("_nd") == F.col("_mx") + 1))
+                .select("conv_id")
+            )
+        flagged = turns.join(last, "conv_id").join(
+            replace_ids.withColumn("_replace", F.lit(True)), "conv_id", "left"
+        )
+        turns = flagged.filter(
+            F.col("_replace").isNull() | (F.col("_batch_id") == F.col("_last_b"))
+        ).drop("_last_b", "_replace")
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(
         F.col("_batch_id").desc()
     )
