@@ -75,3 +75,29 @@ def test_knn_label_vote(spark, emb):
     labels = {r["label"] for r in emb.select("label").distinct().collect()}
     assert all(r["predicted_label"] in labels for r in rows)
     assert all(1 <= r["votes"] <= 5 for r in rows)
+
+
+def test_lsh_survives_null_and_ragged_vectors(spark, emb):
+    """One bad embedding row (null vector, or wrong dimension) must not kill
+    the job: bad rows exit the LSH path (null bucket -> no candidate keys,
+    NaN cosine -> filtered before ranking) and every clean query still gets
+    its neighbors."""
+    dim = len(emb.first()["embedding"])
+    bad = spark.createDataFrame(
+        [(900001, None, "x"), (900002, [1.0, 2.0], "x")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    poisoned = emb.select("vec_id", "embedding", "label").unionByName(bad)
+    queries = poisoned.filter(
+        (F.col("vec_id") % 50 == 0) | (F.col("vec_id") >= 900001)
+    )
+    got = cosine_topk_lsh(poisoned, queries, k=3, dim=dim,
+                          n_planes=6, n_tables=16)
+    rows = got.collect()
+    ids = {r["query_id"] for r in rows}
+    # bad rows produce no results; clean queries are unaffected
+    assert 900001 not in ids and 900002 not in ids
+    clean = cosine_topk_lsh(emb, emb.filter(F.col("vec_id") % 50 == 0), k=3,
+                            dim=dim, n_planes=6, n_tables=16)
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows} == \
+           {(r["query_id"], r["neighbor_id"], r["rank"]) for r in clean.collect()}

@@ -90,3 +90,35 @@ def test_remote_style_root_manifest_and_resume(spark, tiny, tmp_path):
     second = run_pipeline(spark, t, LinkConfig(), workdir=root)
     assert all(v == 0.0 for v in second["timings"].values()), second["timings"]
     assert second["clusters"].count() == first["clusters"].count()
+
+
+def test_remote_manifest_transport_error_propagates(spark, tmp_path):
+    """A transient FS error while reading a remote manifest must PROPAGATE —
+    degrading it to {} (as a missing manifest) would let the next
+    write_stage persist a manifest holding only the current stage, silently
+    discarding every prior stage's lineage. Only missing/corrupt manifests
+    degrade to a fresh run."""
+    import pytest
+
+    from translink.catalog import Catalog
+
+    cat = Catalog(spark, f"file://{tmp_path}/remote_err")
+
+    def boom():
+        raise RuntimeError("transient transport failure")
+
+    cat._hadoop_fs = boom
+    with pytest.raises(RuntimeError, match="transient transport failure"):
+        cat._read_manifest()
+
+
+def test_local_manifest_corrupt_degrades_missing_permission_does_not(tmp_path, spark):
+    from translink.catalog import Catalog
+
+    root = str(tmp_path / "wd_local")
+    os.makedirs(root, exist_ok=True)
+    cat = Catalog(spark, root)
+    # corrupt manifest -> fresh run
+    with open(cat.manifest_path, "w") as fh:
+        fh.write("{not json")
+    assert cat._read_manifest() == {}

@@ -96,12 +96,29 @@ def _make_bucket_kernel(dim: int, n_planes: int, n_tables: int, seed: int = 42):
 
     @pandas_udf(ArrayType(LongType()))
     def bucket_kernel(vecs: pd.Series) -> pd.Series:
-        X = np.array(
-            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
-        ).reshape(len(vecs), dim)
-        signs = (X @ planes) >= 0.0                      # (n, tables*planes)
-        buckets = signs.reshape(len(vecs), n_tables, n_planes).astype(np.int64) @ weights
-        return pd.Series(list(buckets))
+        # one malformed row (null / wrong length) must not fail the stage:
+        # it gets a NULL bucket array, which posexplode then drops from the
+        # candidate keys — the bad vector silently exits the LSH path
+        # instead of killing the job
+        n = len(vecs)
+        arrs = []
+        valid_idx = []
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape == (dim,):
+                arrs.append(a)
+                valid_idx.append(i)
+        out = [None] * n
+        if arrs:
+            X = np.stack(arrs)
+            signs = (X @ planes) >= 0.0                  # (m, tables*planes)
+            buckets = signs.reshape(len(arrs), n_tables, n_planes) \
+                .astype(np.int64) @ weights
+            for j, i in enumerate(valid_idx):
+                out[i] = buckets[j].tolist()
+        return pd.Series(out, dtype=object)
 
     return bucket_kernel
 
@@ -152,15 +169,33 @@ def _cosine_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
     """Batched numpy cosine similarity between two float-array columns —
     the hot-path replacement for the interpreted ``aggregate`` fold
     (``_cos_expr`` stays as the deterministic oracle baseline; this kernel
-    is ~100x faster on candidate ranking at scale)."""
-    A = np.array([np.asarray(v, dtype=np.float64) for v in a])
-    B = np.array([np.asarray(v, dtype=np.float64) for v in b])
-    if len(A) == 0:
-        return pd.Series(np.empty(0, dtype=np.float64))
-    dot = np.einsum("ij,ij->i", A, B)
-    na = np.sqrt(np.einsum("ij,ij->i", A, A))
-    nb = np.sqrt(np.einsum("ij,ij->i", B, B))
-    return pd.Series(dot / (na * nb))
+    is ~100x faster on candidate ranking at scale).
+
+    A null or length-mismatched pair scores NaN instead of failing the
+    stage (the SQL fold null-propagates per row; the kernel must not be
+    weaker). Rows are grouped by vector length so the einsum stays
+    rectangular — one group in the normal fixed-dim case."""
+    n = len(a)
+    out = np.full(n, np.nan, dtype=np.float64)
+    if n == 0:
+        return pd.Series(out)
+    la = np.fromiter(
+        (len(v) if v is not None else -1 for v in a), dtype=np.int64, count=n
+    )
+    lb = np.fromiter(
+        (len(v) if v is not None else -1 for v in b), dtype=np.int64, count=n
+    )
+    valid = (la > 0) & (la == lb)
+    for d in np.unique(la[valid]):
+        idx = np.nonzero(valid & (la == d))[0]
+        A = np.stack([np.asarray(a.iloc[i], dtype=np.float64) for i in idx])
+        B = np.stack([np.asarray(b.iloc[i], dtype=np.float64) for i in idx])
+        dot = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[idx] = dot / (na * nb)
+    return pd.Series(out)
 
 
 def cosine_topk_lsh(
@@ -203,7 +238,11 @@ def cosine_topk_lsh(
         .join(embeddings.select(F.col(id_col).alias("neighbor_id"),
                                 F.col(vec_col).alias("_cv")), "neighbor_id")
     )
-    scored = cand.withColumn("cosine", _cosine_kernel(F.col("_qv"), F.col("_cv")))
+    scored = cand.withColumn(
+        "cosine", _cosine_kernel(F.col("_qv"), F.col("_cv"))
+    ).filter(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
+    # NaN (malformed pair / zero-norm vector) must not outrank real scores —
+    # Spark sorts NaN above every double in a descending order-by
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -94,25 +94,30 @@ class Catalog:
         if self._is_remote():
             # manifest IO must go through the Hadoop FileSystem API on
             # HDFS/s3a roots — local open() would raise after the stage
-            # parquet was already persisted, leaving data without lineage
+            # parquet was already persisted, leaving data without lineage.
+            # Only a MISSING or CORRUPT manifest degrades to {} (fresh run);
+            # a transport/permission error must propagate — swallowing it
+            # would make write_stage's read-modify-write persist a manifest
+            # holding only the current stage, silently discarding every
+            # prior stage's lineage.
+            jvm, fs, path = self._hadoop_fs()
+            if not fs.exists(path):
+                return {}
+            stream = fs.open(path)
             try:
-                jvm, fs, path = self._hadoop_fs()
-                if not fs.exists(path):
-                    return {}
-                stream = fs.open(path)
-                try:
-                    data = bytes(
-                        jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-                    )
-                finally:
-                    stream.close()
+                data = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            try:
                 return json.loads(data.decode())
-            except Exception:
+            except (UnicodeDecodeError, json.JSONDecodeError):
                 return {}
         try:
             with open(self.manifest_path) as fh:
                 return json.load(fh)
-        except (OSError, json.JSONDecodeError):
+        except (FileNotFoundError, json.JSONDecodeError):
             return {}
 
     def _write_manifest(self, manifest: dict) -> None:
