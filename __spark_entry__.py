@@ -491,7 +491,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(present, F.col("conv_id_b") == F.col("other"), "left_semi")
             .withColumn("is_match", F.lit(True))
         )
-        wl = Window.orderBy("conv_id")
+        # negatives = adjacent base conversations WITHIN an md5-prefix bucket
+        # (any pair of distinct base conversations is a true non-match, so
+        # bucketed adjacency is as valid as global adjacency — without the
+        # single-partition global window; 256 buckets, deterministic in both
+        # engines)
+        wl = Window.partitionBy(
+            F.substring(F.md5("conv_id"), 1, 2)
+        ).orderBy("conv_id")
         neg = (
             base.withColumn("conv_id_b", F.lead("conv_id").over(wl))
             .filter(F.col("conv_id_b").isNotNull())
@@ -906,7 +913,8 @@ pos AS (
 ),
 neg AS (
   SELECT conv_id AS conv_id_a,
-         lead(conv_id) OVER (ORDER BY conv_id) AS conv_id_b,
+         lead(conv_id) OVER (PARTITION BY substring(md5(conv_id), 1, 2)
+                             ORDER BY conv_id) AS conv_id_b,
          FALSE AS is_match
   FROM eval_base
   QUALIFY conv_id_b IS NOT NULL
