@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="spark master override (omit under spark-submit)")
     p.add_argument("--labels", default=None,
                    help="labeled-pairs parquet for F1 evaluation")
+    p.add_argument("--progress", nargs="?", const=True, default=False,
+                   type=float, metavar="SECONDS",
+                   help="live per-stage progress lines on stderr (reference "
+                        "src/utils/progress.rs); optional polling interval "
+                        "in seconds (default 10)")
     return p
 
 
@@ -89,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
         spark, transcripts, cfg,
         workdir=args.workdir,
         input_fingerprint=input_content_fingerprint(spark, args.input),
+        progress=args.progress,
     )
     members = result["members"]
     stats = global_stats(members)

@@ -51,6 +51,7 @@ def run_pipeline(
     cfg: LinkConfig | None = None,
     workdir: str | None = None,
     input_fingerprint: str = "",
+    progress: bool | float = False,
 ) -> dict:
     """Run the full linkage pipeline; returns a dict with every stage's
     DataFrame plus ``timings`` (stage -> wall seconds).
@@ -58,11 +59,19 @@ def run_pipeline(
     With ``workdir`` set, each stage persists via the Catalog and a rerun
     reuses any stage whose (config, input) fingerprint matches — delete the
     workdir (or pass a changed config) to force recompute.
+
+    ``progress`` enables the live progress surface (translink.progress):
+    True -> per-stage task progress lines every 10s on stderr, a number ->
+    that polling interval; stage-boundary completion lines ride the same
+    sink.
     """
+    from translink.progress import make_reporter
+
     cfg = cfg or LinkConfig()
     cat = Catalog(spark, workdir) if workdir else None
     fp = cfg.fingerprint() + ":" + input_fingerprint
     timings: dict[str, float] = {}
+    reporter = make_reporter(spark, progress)
 
     def _stage(name: str, build) -> DataFrame:
         t0 = time.time()
@@ -70,6 +79,7 @@ def run_pipeline(
             if cat.has_stage(name, fp):
                 df = cat.read_stage(name)
                 timings[name] = 0.0  # resumed, not recomputed
+                reporter.sink(f"[pipeline] stage {name}: resumed from checkpoint")
                 return df
             df = cat.write_stage(name, build(), fp)
         else:
@@ -79,8 +89,14 @@ def run_pipeline(
             # consumer would dominate the run
             df = build().localCheckpoint(eager=True)
         timings[name] = round(time.time() - t0, 3)
+        reporter.sink(f"[pipeline] stage {name}: done in {timings[name]:.1f}s")
         return df
 
+    with reporter:
+        return _run_stages(transcripts, cfg, _stage, timings, cat)
+
+
+def _run_stages(transcripts, cfg, _stage, timings, cat) -> dict:
     canonical = _stage("canonical", lambda: canonicalize(transcripts, cfg))
     signed = _stage(
         "signed",
