@@ -10,7 +10,12 @@ in separate JVMs; we report rows/sec at both and
 and require the two runs to produce the identical cluster checksum (same
 answer, different parallelism). Writes BENCH/BASELINE.md.
 
-Usage: PYTHONPATH=. python scripts/bench_scaling.py [--n 8] [--profile bench]
+Middle levels (e.g. --levels 8,16,32) are OUT-OF-SAMPLE validation points
+for the Amdahl decomposition T = C/cores + B fitted on the end levels;
+--shuffle-dir <disk path> runs the disk-vs-DRAM shuffle A/B.
+
+Usage: PYTHONPATH=. python scripts/bench_scaling.py [--levels 8,16,32]
+       [--profile bench] [--repeat 2] [--shuffle-dir DIR] [--no-md]
 """
 
 from __future__ import annotations
@@ -83,7 +88,7 @@ def prepare_variants(input_path: str, n_variants: int, out_path: str) -> str:
     return out_path
 
 
-def _clean_scratch() -> None:
+def _clean_scratch(shuffle_dir: str = "/dev/shm/translink-shuffle") -> None:
     """tmpfs scratch shares physical RAM with the JVM — leftovers from a
     previous (possibly killed) run will OOM the next one."""
     import glob
@@ -91,12 +96,22 @@ def _clean_scratch() -> None:
 
     for p in glob.glob("/dev/shm/translink-work-*"):
         shutil.rmtree(p, ignore_errors=True)
-    shutil.rmtree("/dev/shm/translink-shuffle", ignore_errors=True)
-    os.makedirs("/dev/shm/translink-shuffle", exist_ok=True)
+    for d in {"/dev/shm/translink-shuffle", shuffle_dir}:
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
 
 
-def run_level(cores: int, input_path: str, repeat: int, pin: bool = True) -> dict:
-    _clean_scratch()
+def run_level(
+    cores: int,
+    input_path: str,
+    repeat: int,
+    pin: bool = True,
+    shuffle_dir: str | None = None,
+) -> dict:
+    sd = shuffle_dir or os.environ.get(
+        "TRANSLINK_LOCAL_DIR", "/dev/shm/translink-shuffle"
+    )
+    _clean_scratch(sd)
     cmd = [
         sys.executable, os.path.join(REPO, "scripts", "bench_worker.py"),
         "--cores", str(cores), "--input", input_path, "--repeat", str(repeat),
@@ -110,11 +125,11 @@ def run_level(cores: int, input_path: str, repeat: int, pin: bool = True) -> dic
         # N cores for EVERYTHING; taskset reproduces that.
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     env = dict(os.environ, PYTHONPATH=REPO)
-    env.setdefault("TRANSLINK_LOCAL_DIR", "/dev/shm/translink-shuffle")
+    env["TRANSLINK_LOCAL_DIR"] = sd
     out = subprocess.run(
         cmd, capture_output=True, text=True, env=env, cwd=REPO, check=False
     )
-    _clean_scratch()
+    _clean_scratch(sd)
     for line in out.stdout.splitlines():
         if line.startswith("TIMINGS "):
             print(f"[{cores} cores] {line}")
@@ -130,7 +145,10 @@ def run_level(cores: int, input_path: str, repeat: int, pin: bool = True) -> dic
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=8, help="small parallelism level")
+    ap.add_argument("--levels", default="8,32",
+                    help="comma-separated core counts, ascending; first = N, "
+                         "last = 4N for the headline efficiency; middle "
+                         "levels validate the Amdahl fit")
     ap.add_argument("--profile", default="bench",
                     help="fixture profile (tiny|small|bench)")
     ap.add_argument("--repeat", type=int, default=2)
@@ -141,7 +159,18 @@ def main() -> None:
     ap.add_argument("--no-pin", action="store_true",
                     help="skip taskset CPU pinning (pinning is the faithful "
                          "N-vs-4N-executor simulation; see run_level)")
+    ap.add_argument("--shuffle-dir", default=None,
+                    help="spark.local.dir for the workers (default tmpfs "
+                         "/dev/shm/translink-shuffle; pass a disk path for "
+                         "the disk-vs-DRAM shuffle A/B)")
+    ap.add_argument("--json-out", default=None,
+                    help="also dump the report JSON to this path")
+    ap.add_argument("--no-md", action="store_true",
+                    help="don't overwrite BENCH/BASELINE.md (A/B probes)")
     args = ap.parse_args()
+
+    levels = sorted({int(x) for x in args.levels.split(",")})
+    assert len(levels) >= 2, "need at least two levels"
 
     input_path = args.input or ensure_input(
         args.profile, os.path.join(REPO, "BENCH", f"input_{args.profile}")
@@ -151,35 +180,95 @@ def main() -> None:
             input_path, args.variants,
             f"/dev/shm/translink-input-x{args.variants}",
         )
-    small = run_level(args.n, input_path, args.repeat, pin=not args.no_pin)
-    large = run_level(4 * args.n, input_path, args.repeat, pin=not args.no_pin)
-    assert small["checksum"] == large["checksum"], (
-        "parallelism changed the answer!", small, large
-    )
-    eff = large["rows_per_s"] / (4 * small["rows_per_s"])
+    results = {
+        c: run_level(c, input_path, args.repeat, pin=not args.no_pin,
+                     shuffle_dir=args.shuffle_dir)
+        for c in levels
+    }
+    small, large = results[levels[0]], results[levels[-1]]
+    for c, r in results.items():
+        assert r["checksum"] == small["checksum"], (
+            "parallelism changed the answer!", c, r["checksum"], small["checksum"]
+        )
+    ratio = levels[-1] / levels[0]
+    eff = large["rows_per_s"] / (ratio * small["rows_per_s"])
     speedup = large["rows_per_s"] / small["rows_per_s"]
+
+    # Amdahl decomposition T = C/cores + B fit on the END points; middle
+    # levels are OUT-OF-SAMPLE — their predicted-vs-measured error is the
+    # falsifiability check a 2-point/2-parameter fit cannot provide.
+    t1, t2 = small["wall_s"], large["wall_s"]
+    c1, c2 = levels[0], levels[-1]
+    amdahl_C = (t1 - t2) / (1.0 / c1 - 1.0 / c2)
+    amdahl_B = t1 - amdahl_C / c1
+    fit_checks = []
+    for c in levels[1:-1]:
+        pred = amdahl_C / c + amdahl_B
+        meas = results[c]["wall_s"]
+        fit_checks.append({
+            "cores": c, "predicted_s": round(pred, 1),
+            "measured_s": round(meas, 1),
+            "error_pct": round(100.0 * (meas - pred) / pred, 1),
+        })
+
     report = {
-        "n_cores": small, "n4_cores": large,
+        "levels": {str(c): results[c] for c in levels},
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
+        "amdahl_fit": {
+            "C_cpu_seconds": round(amdahl_C, 1),
+            "B_bound_seconds": round(amdahl_B, 1),
+            "fit_points": [c1, c2],
+            "validation": fit_checks,
+        },
+        "shuffle_dir": args.shuffle_dir or "/dev/shm/translink-shuffle",
     }
     print(json.dumps(report, indent=2))
+    if args.json_out:
+        with open(args.json_out, "w") as fh:
+            json.dump(report, fh, indent=2)
+    if args.no_md:
+        return
 
     # per-stage scaling table (the judge-requested evidence of WHERE any
     # residual inefficiency lives)
+    mid_cols = "".join(f" {c}c wall (s) |" for c in levels[1:-1])
     st_rows = []
     for stage in small.get("timings", {}):
         ts, tl = small["timings"].get(stage), large.get("timings", {}).get(stage)
         if ts and tl:
+            mids = "".join(
+                f" {results[c]['timings'].get(stage, float('nan')):.1f} |"
+                for c in levels[1:-1]
+            )
             st_rows.append(
-                f"| {stage} | {ts:.1f} | {tl:.1f} | {ts / tl:.2f}x | "
-                f"{ts / tl / 4:.2f} |"
+                f"| {stage} | {ts:.1f} |{mids} {tl:.1f} | {ts / tl:.2f}x | "
+                f"{ts / tl / ratio:.2f} |"
             )
     stage_table = (
         "\n## Per-stage scaling (best repeat at each level)\n\n"
-        "| stage | N wall (s) | 4N wall (s) | speedup | per-stage efficiency |\n"
-        "|---|---|---|---|---|\n" + "\n".join(st_rows) + "\n"
+        f"| stage | N wall (s) |{mid_cols} 4N wall (s) | speedup | "
+        "per-stage efficiency |\n"
+        f"|---|---|{'---|' * len(levels[1:-1])}---|---|---|\n"
+        + "\n".join(st_rows) + "\n"
     ) if st_rows else ""
+
+    fit_note = f"""
+## Amdahl fit and out-of-sample validation
+
+Fitting T = C/cores + B to the END levels ({c1} and {c2} cores):
+**C = {amdahl_C:.0f} CPU-seconds of core-scalable work, B = {amdahl_B:.0f} s
+of bandwidth-bound time**. A 2-point fit with 2 free parameters fits
+anything — the middle level(s) below are OUT-OF-SAMPLE: the fit predicted
+their wall before they ran.
+
+| cores | predicted wall (s) | measured wall (s) | error |
+|---|---|---|---|
+""" + "\n".join(
+        f"| {fc['cores']} | {fc['predicted_s']} | {fc['measured_s']} | "
+        f"{fc['error_pct']:+.1f}% |"
+        for fc in fit_checks
+    ) + "\n" if fit_checks else ""
 
     membw_note = ""
     membw_path = os.path.join(REPO, "BENCH", "MEMBW.json")
@@ -206,7 +295,7 @@ shuffle-dominated ones sit at the bandwidth floor).
 Each level's process tree is pinned with `taskset -c 0-{{cores-1}}` so the
 N-level run has exactly N CPUs for *everything* — Spark tasks, JVM GC
 threads, Python UDF workers, shuffle IO — just like an N-core cluster
-would. Without pinning, local[{args.n}] on this {os.cpu_count()}-CPU box
+would. Without pinning, local[{levels[0]}] on this {os.cpu_count()}-CPU box
 leaks GC/python work onto the idle cores, overstating N-level throughput
 and understating the measured efficiency.
 """
@@ -220,22 +309,26 @@ Same job (full linkage pipeline: canonicalize -> signatures -> salted
 blocking + LSH -> sort-merge candidate pairs -> JVM+Arrow scoring ->
 large-star/small-star connected components), same deterministic input
 ({small['rows']} transcript rows: fixture profile `{args.profile}`, seed 42,
-scaled by {args.variants} token-disjoint variants), run at two parallelism
-levels in separate JVMs; each level reports its best of {args.repeat}
-same-JVM repeats (steady state: warm JIT, warm python workers — startup cost
-is not what the scaling criterion measures). Checksums of the final cluster
-assignment are identical at both levels.
+scaled by {args.variants} token-disjoint variants), run at {len(levels)}
+parallelism levels in separate JVMs; each level reports its best of
+{args.repeat} same-JVM repeats (steady state: warm JIT, warm python workers —
+startup cost is not what the scaling criterion measures). Checksums of the
+final cluster assignment are identical at every level.
 
 | level | cores | wall (s) | throughput (rows/s) |
 |---|---|---|---|
-| N  | {small['cores']} | {small['wall_s']} | {small['rows_per_s']} |
-| 4N | {large['cores']} | {large['wall_s']} | {large['rows_per_s']} |
+""" + "\n".join(
+            f"| {'N' if c == levels[0] else ('4N' if c == levels[-1] else f'{c / levels[0]:g}N')} "
+            f"| {results[c]['cores']} | {results[c]['wall_s']} "
+            f"| {results[c]['rows_per_s']} |"
+            for c in levels
+        ) + f"""
 
 - speedup (4N vs N): **{speedup:.2f}x**
-- scaling efficiency = throughput_4N / (4 x throughput_N) = **{eff:.3f}**
+- scaling efficiency = throughput_4N / ({ratio:g} x throughput_N) = **{eff:.3f}**
   (target from BASELINE.json: >= 0.8)
-- result checksum (both levels): `{small['checksum']}`
-{stage_table}{membw_note}
+- result checksum (all levels): `{small['checksum']}`
+{stage_table}{fit_note}{membw_note}
 Measured on a single machine with `local[{small['cores']}]` vs
 `local[{large['cores']}]` — the sandbox stand-in for N vs 4N executors; the
 job itself is partition-parallel throughout (no driver-side loops over
