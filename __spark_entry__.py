@@ -662,6 +662,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["event_exact_dedup"] = q_event_dedup
 
+    # -- q26: full character-frequency histogram (H7 at full fidelity —
+    #          reference keeps the whole 256-bucket byte distribution,
+    #          src/pipeline/stats.rs:155-182). All outputs are exact
+    #          integers (+ top_char), so the Arrow scale path itself is
+    #          oracle-checked — no expr/fast split needed. ----------------
+    def q_doc_char_histogram(spark, sf_dir):
+        from translink.histogram import doc_char_histogram
+        return doc_char_histogram(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), method="arrow"
+        )
+    q["doc_char_histogram"] = q_doc_char_histogram
+
+    # -- q27: statistical-fingerprint pair similarity (H13 blend,
+    #          reference calculate_similarity src/pipeline/stats.rs:236-265:
+    #          frequency-distribution cosine + entropy closeness). expr
+    #          form for the oracle; Arrow twin below is the public default.
+    def q_doc_stat_sim(spark, sf_dir):
+        from translink.histogram import doc_stat_similarity_pairs
+        return doc_stat_similarity_pairs(
+            _docs(spark, sf_dir), threshold=0.0, salt_mode="rank",
+            method="expr",
+        )
+    q["doc_stat_sim_pairs"] = q_doc_stat_sim
+
     # ===== rows-only queries (no ANSI-SQL twin; weaker driver check) =====
     # Engine fast paths whose hash families DuckDB cannot reproduce; their
     # correctness is pinned by pytest parity tests against the exact
@@ -685,6 +709,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_planes=6, n_tables=16,
         )
     q["ann_cosine_topk_lsh"] = q_ann_lsh
+
+    def q_doc_stat_sim_fast(spark, sf_dir):
+        """Arrow scale path of the H13 blend: ships (codepoint, count)
+        arrays through the pair join + exact-integer dot kernel. The
+        dot/l2/cosine lanes are bit-identical to the expr form; entropy
+        rides the Arrow kernel (ulp-level vs the expr fold), so this twin
+        is rows-only — pytest pins parity against doc_stat_sim_pairs."""
+        from translink.histogram import doc_stat_similarity_pairs
+        return doc_stat_similarity_pairs(
+            _docs(spark, sf_dir), threshold=0.0, salt_mode="rank",
+            method="arrow",
+        )
+    q["doc_stat_sim_pairs_fast"] = q_doc_stat_sim_fast
 
     def q_lsh_blocked_clusters(spark, sf_dir):
         """Full engine pipeline (LSH + JW scorer) — the flagship, rows-only
@@ -1179,6 +1216,132 @@ SELECT CAST(count(*) AS BIGINT) AS n_convs,
        CAST(sum(CASE WHEN group_size >= 2 AND rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_convs,
        CAST(sum(CASE WHEN group_size >= 2 AND rk > 1 THEN total_chars ELSE 0 END) AS BIGINT) AS savings_chars
 FROM m
+"""
+
+    # Full char-frequency histogram: every column is an exact integer (or
+    # min-codepoint top_char), so this checks the Arrow kernel DIRECTLY —
+    # DuckDB's binary string collation equals codepoint order, matching the
+    # kernel's max-count-then-min-codepoint tie-break.
+    o["doc_char_histogram"] = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS txt FROM documents
+),
+chars AS (
+  SELECT doc_id, unnest(string_split_regex(txt, '')) AS ch FROM base
+),
+cc AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+),
+stats AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_chars,
+         CAST(count(*) AS BIGINT) AS distinct_chars,
+         CAST(sum(c * c) AS BIGINT) AS hist_l2_sq
+  FROM cc GROUP BY doc_id
+),
+tops AS (
+  SELECT doc_id, min(ch) AS top_char, CAST(max(c) AS BIGINT) AS top_count
+  FROM (SELECT doc_id, ch, c, max(c) OVER (PARTITION BY doc_id) AS mc FROM cc)
+  WHERE c = mc GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(s.n_chars, 0) AS n_chars,
+       coalesce(s.distinct_chars, 0) AS distinct_chars,
+       coalesce(t.top_char, '') AS top_char,
+       coalesce(t.top_count, 0) AS top_count,
+       coalesce(s.hist_l2_sq, 0) AS hist_l2_sq
+FROM base b
+LEFT JOIN stats s ON b.doc_id = s.doc_id
+LEFT JOIN tops t ON b.doc_id = t.doc_id
+"""
+
+    # H13 statistical blend: blocking CTE identical to doc_jaccard_pairs;
+    # dot and norms are exact BIGINTs (order-independent), the derived
+    # doubles share one IEEE op order with the Spark expr form, and the
+    # entropy CTE is copied verbatim from o["doc_entropy"]. Float literals
+    # are written CAST(n AS DOUBLE) — DuckDB parses bare decimals as
+    # DECIMAL, which would corrupt the roundtrip.
+    o["doc_stat_sim_pairs"] = f"""
+WITH {docs_cte},
+base AS (
+  SELECT doc_id, coalesce(text, '') AS txt, coalesce(lang, '') AS lng
+  FROM docs_planted
+),
+blocked AS (
+  SELECT doc_id,
+         concat(lng, '|',
+                CAST(CAST(floor(length(txt) / 64) AS BIGINT) AS VARCHAR)) AS block_key
+  FROM base
+),
+salted AS (
+  SELECT *,
+         CAST((row_number() OVER (PARTITION BY block_key ORDER BY doc_id) - 1)
+              % CAST(ceil(count(*) OVER (PARTITION BY block_key) / 64.0) AS BIGINT) AS INT) AS salt
+  FROM blocked
+),
+chars AS (
+  SELECT doc_id, unnest(string_split_regex(txt, '')) AS ch FROM base
+),
+cc AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+),
+l2 AS (
+  SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS l2 FROM cc GROUP BY doc_id
+),
+cc_d AS (
+  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+),
+ent AS (
+  SELECT doc_id,
+         round(log2(sum(c))
+               - list_sum(list_transform(list(c ORDER BY ch), x -> x * log2(x)))
+                 / sum(c), 9) AS entropy_bits
+  FROM cc_d GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM salted a JOIN salted b
+    ON a.block_key = b.block_key AND a.salt = b.salt AND a.doc_id < b.doc_id
+),
+dots AS (
+  SELECT p.doc_id_a, p.doc_id_b, CAST(sum(ca.c * cb.c) AS BIGINT) AS dot
+  FROM pairs p
+  JOIN cc ca ON ca.doc_id = p.doc_id_a
+  JOIN cc cb ON cb.doc_id = p.doc_id_b AND cb.ch = ca.ch
+  GROUP BY p.doc_id_a, p.doc_id_b
+),
+feat AS (
+  SELECT p.doc_id_a, p.doc_id_b,
+         coalesce(d.dot, 0) AS dot,
+         coalesce(la.l2, 0) AS l2a, coalesce(lb.l2, 0) AS l2b,
+         coalesce(ea.entropy_bits, CAST(0 AS DOUBLE)) AS ent_a,
+         coalesce(eb.entropy_bits, CAST(0 AS DOUBLE)) AS ent_b
+  FROM pairs p
+  LEFT JOIN dots d ON d.doc_id_a = p.doc_id_a AND d.doc_id_b = p.doc_id_b
+  LEFT JOIN l2 la ON la.doc_id = p.doc_id_a
+  LEFT JOIN l2 lb ON lb.doc_id = p.doc_id_b
+  LEFT JOIN ent ea ON ea.doc_id = p.doc_id_a
+  LEFT JOIN ent eb ON eb.doc_id = p.doc_id_b
+),
+scored AS (
+  SELECT doc_id_a, doc_id_b,
+         CASE WHEN l2a = 0 AND l2b = 0 THEN CAST(1 AS DOUBLE)
+              WHEN l2a = 0 OR l2b = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(dot AS DOUBLE) / sqrt(CAST(l2a * l2b AS DOUBLE))
+         END AS hist_cosine,
+         (CAST(8 AS DOUBLE) - abs(ent_a - ent_b))
+           / CAST(8 AS DOUBLE) * CAST(100 AS DOUBLE) AS entropy_sim
+  FROM feat
+)
+SELECT doc_id_a, doc_id_b, hist_cosine, entropy_sim,
+       (CAST(2 AS DOUBLE) * hist_cosine * CAST(100 AS DOUBLE)
+        + entropy_sim) / CAST(3 AS DOUBLE) AS stat_sim
+FROM scored
+WHERE (CAST(2 AS DOUBLE) * hist_cosine * CAST(100 AS DOUBLE)
+       + entropy_sim) / CAST(3 AS DOUBLE) >= CAST(0 AS DOUBLE)
 """
 
     return o

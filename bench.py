@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "doc_simhash_pairs",
     "doc_entropy",
     "doc_entropy_fast",
+    "doc_char_histogram",
+    "doc_stat_sim_pairs_fast",
     "dedup_keep_list",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",

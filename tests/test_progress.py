@@ -7,12 +7,30 @@ from translink.progress import ProgressReporter, make_reporter
 
 
 def test_reporter_emits_stage_lines(spark, tiny):
+    """Drive _tick() directly against a live job — the daemon-thread cadence
+    is exercised by test_pipeline_progress_boundary_lines; racing a fixed
+    interval against job latency made this flaky under full-suite load."""
+    import threading
+    import time
+
     lines = []
-    with ProgressReporter(spark, interval=0.2, sink=lines.append):
-        # a job slow enough to straddle several polling ticks
-        spark.range(0, 2_000_000, 1, 16).selectExpr(
+    rep = ProgressReporter(spark, interval=60.0, sink=lines.append)
+
+    def job():
+        spark.range(0, 60_000_000, 1, 16).selectExpr(
             "bit_xor(xxhash64(id, id + 1, id + 2))"
         ).collect()
+
+    t = threading.Thread(target=job)
+    with rep:
+        t.start()
+        deadline = time.time() + 120
+        while t.is_alive() and time.time() < deadline:
+            rep._tick()
+            if any("[progress] stage" in ln and "tasks" in ln for ln in lines):
+                break
+            time.sleep(0.02)
+        t.join()
     assert any("[progress] stage" in ln and "tasks" in ln for ln in lines), lines
 
 
