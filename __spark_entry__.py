@@ -710,6 +710,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["ann_cosine_topk_lsh"] = q_ann_lsh
 
+    def q_ann_ivf(spark, sf_dir):
+        """IVF-probed ANN (the alternative scale path beside LSH): rows-only
+        because the k-means coarse quantizer has no SQL twin; recall vs the
+        exact baseline is pinned by tests/test_ann.py."""
+        from translink.ann import cosine_topk_ivf
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return cosine_topk_ivf(
+            emb, emb.filter(F.col("vec_id") < 200), k=5, dim=64,
+            n_centroids=32, n_probe=8,
+        )
+    q["ann_cosine_topk_ivf"] = q_ann_ivf
+
     def q_doc_stat_sim_fast(spark, sf_dir):
         """Arrow scale path of the H13 blend: ships (codepoint, count)
         arrays through the pair join + exact-integer dot kernel. The

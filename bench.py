@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_keep_list",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
+    "ann_cosine_topk_ivf",
     "event_exact_dedup",
 ]
 

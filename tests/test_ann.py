@@ -101,3 +101,66 @@ def test_lsh_survives_null_and_ragged_vectors(spark, emb):
                             dim=dim, n_planes=6, n_tables=16)
     assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows} == \
            {(r["query_id"], r["neighbor_id"], r["rank"]) for r in clean.collect()}
+
+
+def test_ivf_recall_vs_exact(spark, emb):
+    """IVF-probed ANN: recall@5 against the exact baseline. Random gaussian
+    vectors are IVF's worst case too (no cluster structure for the
+    centroids to exploit) — probing 8/16 cells should still clear half."""
+    from translink.ann import cosine_topk_ivf
+
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in cosine_topk_ivf(emb, q, k=5, dim=64,
+                                       n_centroids=16, n_probe=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.5, recall
+
+
+def test_ivf_deterministic_and_finds_planted_duplicate(spark, emb):
+    """The coarse quantizer assigns an exact copy to the same cell as the
+    query's own top-1 probe, so a planted duplicate is always found; two
+    runs over the same input produce identical results (seeded sample +
+    seeded k-means, no unseeded randomness anywhere)."""
+    from translink.ann import cosine_topk_ivf
+
+    copy = emb.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(99999).cast("long"))
+    corpus = emb.unionByName(copy)
+    q = emb.filter(F.col("vec_id") == 0)
+    r1 = cosine_topk_ivf(corpus, q, k=3, dim=64,
+                         n_centroids=16, n_probe=4).collect()
+    r2 = cosine_topk_ivf(corpus, q, k=3, dim=64,
+                         n_centroids=16, n_probe=4).collect()
+    key = lambda rows: [(r["query_id"], r["neighbor_id"], r["rank"]) for r in
+                        sorted(rows, key=lambda x: (x["query_id"], x["rank"]))]
+    assert key(r1) == key(r2)
+    top1 = min(r1, key=lambda r: r["rank"])
+    assert top1["neighbor_id"] == 99999
+    assert abs(top1["cosine"] - 1.0) < 1e-12
+
+
+def test_ivf_survives_null_and_ragged_vectors(spark, emb):
+    """Malformed embeddings exit the IVF path (null cell / NaN cosine)
+    without failing the stage or changing clean queries' results."""
+    from translink.ann import cosine_topk_ivf
+
+    dim = len(emb.first()["embedding"])
+    bad = spark.createDataFrame(
+        [(900001, None, "x"), (900002, [1.0, 2.0], "x")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    poisoned = emb.select("vec_id", "embedding", "label").unionByName(bad)
+    queries = poisoned.filter(
+        (F.col("vec_id") % 50 == 0) | (F.col("vec_id") >= 900001)
+    )
+    rows = cosine_topk_ivf(poisoned, queries, k=3, dim=dim,
+                           n_centroids=16, n_probe=8).collect()
+    ids = {r["query_id"] for r in rows}
+    assert 900001 not in ids and 900002 not in ids
+    clean = cosine_topk_ivf(emb, emb.filter(F.col("vec_id") % 50 == 0), k=3,
+                            dim=dim, n_centroids=16, n_probe=8)
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows} == \
+           {(r["query_id"], r["neighbor_id"], r["rank"]) for r in clean.collect()}

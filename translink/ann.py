@@ -1,6 +1,6 @@
 """Approximate-nearest-neighbor search over an embedding column.
 
-Two paths over ``embeddings(vec_id, embedding: array<float>, label)``:
+Three paths over ``embeddings(vec_id, embedding: array<float>, label)``:
 
   - ``cosine_topk`` — exact brute force: query set x corpus join, cosine in
     a JVM fold (zip_with + aggregate, whole-stage codegen; deterministic
@@ -10,6 +10,10 @@ Two paths over ``embeddings(vec_id, embedding: array<float>, label)``:
     sign pattern of ``n_planes`` fixed seeded hyperplanes; top-k runs inside
     (query-bucket) groups only. The 100TB path: bucket sizes, not corpus
     size, bound the join fan-out.
+  - ``cosine_topk_ivf`` — inverted-file index: spherical-k-means cells
+    trained on a bounded sample; queries probe their ``n_probe`` nearest
+    cells. One cell per corpus vector (no pair dedup), data-adaptive
+    partitioning; the alternative scale path.
 
 The hyperplanes are literal arrays baked into the plan (seeded numpy), so
 the operator is deterministic and needs no broadcast variable.
@@ -243,6 +247,156 @@ def cosine_topk_lsh(
     ).filter(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
     # NaN (malformed pair / zero-norm vector) must not outrank real scores —
     # Spark sorts NaN above every double in a descending order-by
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _train_centroids(
+    X: np.ndarray, n_centroids: int, iters: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Spherical k-means (unit-norm centroids, cosine objective) with
+    kmeans++ seeding — numpy on the driver over a BOUNDED sample, the way
+    IVF coarse quantizers are normally trained (the index must not require
+    a pass over 100 TB to build). Deterministic given the rng."""
+    norms = np.linalg.norm(X, axis=1)
+    Xn = X[norms > 0] / norms[norms > 0, None]
+    n = Xn.shape[0]
+    k = min(n_centroids, n)
+    # kmeans++: first pick uniform, then proportional to cosine distance
+    # to the nearest already-picked centroid
+    idx = [int(rng.integers(n))]
+    sims = Xn @ Xn[idx[0]]
+    for _ in range(k - 1):
+        d = np.maximum(1.0 - sims, 0.0)
+        if d.sum() <= 0:
+            break
+        j = int(rng.choice(n, p=d / d.sum()))
+        idx.append(j)
+        sims = np.maximum(sims, Xn @ Xn[j])
+    C = Xn[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(C.shape[0]):
+            members = Xn[assign == j]
+            if len(members) == 0:
+                continue  # empty cell keeps its old centroid
+            m = members.mean(axis=0)
+            nm = np.linalg.norm(m)
+            if nm > 0:
+                C[j] = m / nm
+    return C
+
+
+def _make_probe_kernel(centroids: np.ndarray, n_probe: int):
+    """Arrow kernel: top-``n_probe`` nearest centroid ids (by cosine) per
+    vector, one numpy matmul per batch. The centroid matrix is baked into
+    the closure (k x dim doubles — a few hundred KB at most), so the
+    operator needs no broadcast variable and stays deterministic."""
+    C = centroids.astype(np.float64)
+    dim = C.shape[1]
+    p = min(n_probe, C.shape[0])
+
+    @pandas_udf(ArrayType(LongType()))
+    def probe_kernel(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        arrs, valid_idx = [], []
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape == (dim,):
+                arrs.append(a)
+                valid_idx.append(i)
+        out = [None] * n  # malformed rows exit the IVF path, not the job
+        if arrs:
+            X = np.stack(arrs)
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (X / norms[:, None]) @ C.T
+            # top-p centroid ids, nearest first (stable id tie-break)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :p]
+            for j, i in enumerate(valid_idx):
+                out[i] = order[j].tolist()
+        return pd.Series(out, dtype=object)
+
+    return probe_kernel
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 64,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Collect a bounded deterministic sample (per-partition top-N by
+    ``xxhash64(id)`` merged on the driver — TakeOrderedAndProject, no full
+    sort) and train the coarse quantizer on it."""
+    rows = (
+        embeddings
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    return _train_centroids(X, n_centroids, iters, np.random.default_rng(seed))
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    sample_size: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is partitioned
+    into ``n_centroids`` Voronoi cells of a spherical-k-means coarse
+    quantizer; each query probes its ``n_probe`` nearest cells and ranks
+    only their members by exact cosine.
+
+    The scale shape vs ``cosine_topk_lsh``: each corpus vector lives in
+    exactly ONE cell (no multi-table duplication, no pair dedup needed),
+    candidate volume is ``n_probe/n_centroids`` of the corpus per query,
+    and recall/cost tune smoothly via ``n_probe``. Cell population is
+    data-adaptive (centroids follow density) where LSH buckets are fixed
+    geometry — the standard IVF advantage on clustered embeddings. Grow
+    ``n_centroids`` ~ sqrt(corpus) at scale to bound cell size.
+    """
+    C = train_ivf_centroids(
+        embeddings, dim, n_centroids, sample_size, 10, seed, id_col, vec_col
+    )
+    kern = _make_probe_kernel(C, n_probe)
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        F.element_at(kern(F.col(vec_col)), 1).alias("cell"),
+    ).filter(F.col("cell").isNotNull())
+    probes = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.explode(kern(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        probes.join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine_kernel(F.col("_qv"), F.col("_cv")))
+        .filter(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
