@@ -53,3 +53,66 @@ def test_dedup_by_feature(spark):
     got = {(r["asset_id"], r["cluster_id"]) for r in clusters.collect()}
     assert (16, 0) in got and (0, 0) in got   # planted dup of asset 0
     assert (17, 1) in got and (1, 1) in got   # planted dup of asset 1
+
+
+def test_resize_images_real_resample(spark):
+    """Resize plumbing: real nearest-neighbor resample around the fake
+    codec; identical payloads -> identical thumbs; output bytes == w*h."""
+    from translink.multimodal import resize_images
+
+    assets = synthetic_assets(spark, n=16).repartition(3)
+    rows = resize_images(assets, width=8, height=6).collect()
+    by_id = {r["asset_id"]: r for r in rows}
+    assert len(rows) == 18
+    assert all(r["width"] == 8 and r["height"] == 6 for r in rows)
+    assert all(len(r["thumb"]) == 48 for r in rows if r["thumb"] is not None)
+    # planted duplicate payload -> byte-identical thumb + hash
+    assert by_id[16]["thumb"] == by_id[0]["thumb"]
+    assert by_id[16]["thumb_hash"] == by_id[0]["thumb_hash"]
+    assert by_id[17]["thumb_hash"] == by_id[1]["thumb_hash"]
+    with pytest.raises(NotImplementedError):
+        resize_images(assets, fake_decode=False)
+
+
+def test_sample_video_frames_stride_and_growth(spark):
+    """Frame sampler: output cardinality exceeds input rows, stride and
+    timestamps follow the configured fps, duplicates share frame hashes."""
+    from translink.multimodal import sample_video_frames
+
+    assets = synthetic_assets(spark, n=8).repartition(2)
+    got = sample_video_frames(
+        assets, frame_bytes=16, fps=25.0, every_nth=2, max_frames=3
+    )
+    rows = got.collect()
+    assert len(rows) > 8  # growth: several frames per asset
+    for r in rows:
+        assert r["frame_idx"] % 2 == 0
+        assert r["ts_ms"] == int(r["frame_idx"] * 1000.0 / 25.0)
+    per_asset = {}
+    for r in rows:
+        per_asset.setdefault(r["asset_id"], []).append(r)
+    assert all(len(v) <= 3 for v in per_asset.values())
+    # planted dup of asset 0 yields identical frame hash sequence
+    seq = lambda aid: sorted(
+        (r["frame_idx"], r["frame_hash"]) for r in per_asset[aid])
+    assert seq(8) == seq(0)
+
+
+def test_chunk_audio_windows_overlap(spark):
+    """Audio chunker: hop < window -> overlapping windows, ms offsets from
+    byte arithmetic, deterministic digests on the planted duplicate."""
+    from translink.multimodal import chunk_audio
+
+    assets = synthetic_assets(spark, n=8).repartition(2)
+    rows = chunk_audio(assets, bytes_per_ms=1.0, window_ms=32,
+                       hop_ms=16).collect()
+    per_asset = {}
+    for r in rows:
+        per_asset.setdefault(r["asset_id"], []).append(r)
+    chunks = sorted(per_asset[0], key=lambda r: r["chunk_idx"])
+    assert len(chunks) >= 3
+    assert chunks[0]["start_ms"] == 0 and chunks[0]["end_ms"] == 32
+    assert chunks[1]["start_ms"] == 16  # overlap: hop < window
+    seq = lambda aid: sorted(
+        (r["chunk_idx"], r["chunk_hash"]) for r in per_asset[aid])
+    assert seq(8) == seq(0)

@@ -132,6 +132,180 @@ def dedup_by_feature(features: DataFrame) -> DataFrame:
     )
 
 
+#: Output schema of the resize kernel.
+THUMB_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("thumb", BinaryType(), True),          # resized grayscale
+    StructField("thumb_hash", LongType(), True),
+])
+
+#: Output schema of the frame sampler (one row PER SAMPLED FRAME).
+FRAME_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("ts_ms", LongType(), False),
+    StructField("frame_hash", LongType(), True),
+])
+
+#: Output schema of the audio chunker (one row PER WINDOW).
+CHUNK_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("chunk_idx", IntegerType(), False),
+    StructField("start_ms", LongType(), False),
+    StructField("end_ms", LongType(), False),
+    StructField("chunk_hash", LongType(), True),
+])
+
+
+def _fake_decode_gray(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for an image codec: tile the payload bytes
+    into a square uint8 grayscale array. The ONLY fake step — everything
+    downstream (resampling, hashing, schema) operates on the real array."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    side = max(int(np.sqrt(arr.size)), 1)
+    return np.resize(arr, (side, side))
+
+
+def _hash_u8(a: np.ndarray) -> int:
+    """FNV-style deterministic digest of a uint8 array (content identity
+    for frames/chunks/thumbnails without shipping the bytes)."""
+    h = np.uint64(14695981039346656037)
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for chunk in np.array_split(a.ravel(), max(a.size // 65536, 1)):
+            h = (h * prime) ^ np.uint64(int(chunk.astype(np.uint64).sum()) & 0x7FFFFFFFFFFFFFFF)
+            h ^= np.uint64(chunk.size)
+    return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+
+def resize_images(
+    assets: DataFrame, width: int = 32, height: int = 32,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Distributed thumbnail/resize pass: decode -> nearest-neighbor
+    resample to (width, height) -> re-encode as raw bytes + digest.
+
+    The resample is REAL numpy index arithmetic (the operation a training
+    pipeline runs before feature extraction); only the codec is the
+    deterministic fake. Identical payloads produce identical thumbs and
+    hashes, so near-dup-by-thumbnail composes with dedup_by_feature."""
+    if not fake_decode:
+        raise NotImplementedError(
+            "no image codec in this environment; pass fake_decode=True for "
+            "the deterministic stand-in decoder"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "width": [], "height": [],
+                   "thumb": [], "thumb_hash": []}
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(aid)
+                out["width"].append(width)
+                out["height"].append(height)
+                if p is None or len(p) == 0:
+                    out["thumb"].append(None)
+                    out["thumb_hash"].append(None)
+                    continue
+                img = _fake_decode_gray(p)
+                h, w = img.shape
+                # nearest-neighbor resample via integer index maps
+                yi = (np.arange(height) * h) // height
+                xi = (np.arange(width) * w) // width
+                thumb = img[yi[:, None], xi]
+                out["thumb"].append(thumb.tobytes())
+                out["thumb_hash"].append(_hash_u8(thumb))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(kernel, schema=THUMB_SCHEMA)
+
+
+def sample_video_frames(
+    assets: DataFrame,
+    frame_bytes: int = 256,
+    fps: float = 25.0,
+    every_nth: int = 10,
+    max_frames: int = 32,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame, uniform stride
+    ``every_nth`` capped at ``max_frames`` — the exact shape of a
+    keyframe-extraction pass (output cardinality GROWS past the input's;
+    Arrow batches bound memory per partition regardless).
+
+    The fake "demuxer" treats the payload as fixed-size frame records;
+    stride/timestamp arithmetic and per-frame digests are real."""
+    if not fake_decode:
+        raise NotImplementedError(
+            "no video codec in this environment; pass fake_decode=True for "
+            "the deterministic stand-in demuxer"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "ts_ms": [], "frame_hash": []}
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if p is None or len(p) == 0:
+                    continue
+                n_frames = max(len(p) // frame_bytes, 1)
+                for k, idx in enumerate(range(0, n_frames, every_nth)):
+                    if k >= max_frames:
+                        break
+                    frame = np.frombuffer(
+                        p[idx * frame_bytes:(idx + 1) * frame_bytes], dtype=np.uint8
+                    )
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(int(idx * 1000.0 / fps))
+                    out["frame_hash"].append(_hash_u8(frame) if frame.size else None)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def chunk_audio(
+    assets: DataFrame,
+    bytes_per_ms: float = 16.0,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Overlapping-window audio segmentation: one row per window with
+    byte-offset-derived timestamps and a content digest. Real windowing
+    arithmetic (window/hop in ms over a PCM-rate byte stream) around the
+    fake codec boundary; window overlap means output bytes exceed input
+    bytes — the kernel streams, never materializing a whole partition."""
+    if not fake_decode:
+        raise NotImplementedError(
+            "no audio codec in this environment; pass fake_decode=True for "
+            "the deterministic stand-in decoder"
+        )
+    win_b = max(int(window_ms * bytes_per_ms), 1)
+    hop_b = max(int(hop_ms * bytes_per_ms), 1)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "chunk_idx": [], "start_ms": [],
+                   "end_ms": [], "chunk_hash": []}
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if p is None or len(p) == 0:
+                    continue
+                for ci, off in enumerate(range(0, len(p), hop_b)):
+                    chunk = np.frombuffer(p[off:off + win_b], dtype=np.uint8)
+                    if chunk.size == 0:
+                        break
+                    out["asset_id"].append(aid)
+                    out["chunk_idx"].append(ci)
+                    out["start_ms"].append(int(off / bytes_per_ms))
+                    out["end_ms"].append(int((off + chunk.size) / bytes_per_ms))
+                    out["chunk_hash"].append(_hash_u8(chunk))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(kernel, schema=CHUNK_SCHEMA)
+
+
 def synthetic_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake asset table for tests (seeded bytes; a few planted
     byte-identical duplicates and recognizable magic headers)."""
