@@ -12,7 +12,9 @@ answer, different parallelism). Writes BENCH/BASELINE.md.
 
 Middle levels (e.g. --levels 8,16,32) are OUT-OF-SAMPLE validation points
 for the Amdahl decomposition T = C/cores + B fitted on the end levels;
---shuffle-dir <disk path> runs the disk-vs-DRAM shuffle A/B.
+--shuffle-dir selects the worker spark.local.dir (default plain disk —
+measured faster than tmpfs here; pass /dev/shm/... for the tmpfs side of
+the shuffle A/B).
 
 Usage: PYTHONPATH=. python scripts/bench_scaling.py [--levels 8,16,32]
        [--profile bench] [--repeat 2] [--shuffle-dir DIR] [--no-md]
@@ -88,7 +90,16 @@ def prepare_variants(input_path: str, n_variants: int, out_path: str) -> str:
     return out_path
 
 
-def _clean_scratch(shuffle_dir: str = "/dev/shm/translink-shuffle") -> None:
+#: Default worker shuffle dir: plain disk, NOT tmpfs. The r3 A/B
+#: (BENCH/SCALING_r03.json vs SCALING_r03_diskshuffle.json) measured disk
+#: shuffle faster at BOTH levels (912 vs 954 s at 8c, 316 vs 387 s at 32c)
+#: and more scalable (0.721 vs 0.616): tmpfs shuffle steals DRAM bandwidth
+#: from the already-bus-bound job, while the disk path rides the page cache
+#: for hot reads and lets writeback absorb the rest.
+DEFAULT_SHUFFLE_DIR = "/tmp/translink-shuffle-disk"
+
+
+def _clean_scratch(shuffle_dir: str = DEFAULT_SHUFFLE_DIR) -> None:
     """tmpfs scratch shares physical RAM with the JVM — leftovers from a
     previous (possibly killed) run will OOM the next one."""
     import glob
@@ -108,9 +119,8 @@ def run_level(
     pin: bool = True,
     shuffle_dir: str | None = None,
 ) -> dict:
-    sd = shuffle_dir or os.environ.get(
-        "TRANSLINK_LOCAL_DIR", "/dev/shm/translink-shuffle"
-    )
+    sd = shuffle_dir or os.environ.get("TRANSLINK_LOCAL_DIR",
+                                       DEFAULT_SHUFFLE_DIR)
     _clean_scratch(sd)
     cmd = [
         sys.executable, os.path.join(REPO, "scripts", "bench_worker.py"),
@@ -160,9 +170,10 @@ def main() -> None:
                     help="skip taskset CPU pinning (pinning is the faithful "
                          "N-vs-4N-executor simulation; see run_level)")
     ap.add_argument("--shuffle-dir", default=None,
-                    help="spark.local.dir for the workers (default tmpfs "
-                         "/dev/shm/translink-shuffle; pass a disk path for "
-                         "the disk-vs-DRAM shuffle A/B)")
+                    help="spark.local.dir for the workers (default disk "
+                         f"{DEFAULT_SHUFFLE_DIR} — measured faster than "
+                         "tmpfs on this box; pass /dev/shm/... for the "
+                         "tmpfs side of the shuffle A/B)")
     ap.add_argument("--json-out", default=None,
                     help="also dump the report JSON to this path")
     ap.add_argument("--no-md", action="store_true",
@@ -221,7 +232,8 @@ def main() -> None:
             "fit_points": [c1, c2],
             "validation": fit_checks,
         },
-        "shuffle_dir": args.shuffle_dir or "/dev/shm/translink-shuffle",
+        "shuffle_dir": args.shuffle_dir or os.environ.get(
+            "TRANSLINK_LOCAL_DIR", DEFAULT_SHUFFLE_DIR),
     }
     print(json.dumps(report, indent=2))
     if args.json_out:

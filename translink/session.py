@@ -40,10 +40,12 @@ def get_spark(
         # moderate: measured G1 pathology at 48g on this box (canonicalize
         # 6.6s at 16-24g vs 45s at 48g on local[32]).
         "spark.driver.memory": os.environ.get("TRANSLINK_DRIVER_MEM", "20g"),
-        # Shuffle files default to the system temp disk; on a single box
-        # benchmarking compute scaling, one disk serializes every level of
-        # parallelism. TRANSLINK_LOCAL_DIR=/dev/shm/... puts shuffle in RAM
-        # (cluster mode: executors use their own local dirs instead).
+        # Shuffle files default to the system temp disk — measured FASTER
+        # than tmpfs on this box (BENCH/BASELINE.md A/B: tmpfs shuffle
+        # competes with the job for the saturated DRAM bus; the disk path
+        # rides the page cache for hot reads while writeback absorbs the
+        # rest). TRANSLINK_LOCAL_DIR overrides either way (cluster mode:
+        # executors use their own local dirs instead).
         **(
             {"spark.local.dir": os.environ["TRANSLINK_LOCAL_DIR"]}
             if "TRANSLINK_LOCAL_DIR" in os.environ else {}
