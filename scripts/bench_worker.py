@@ -51,10 +51,12 @@ def main() -> None:
         shuffle_partitions=4 * args.cores,
         app_name=f"translink-scaling-{args.cores}",
     )
-    # stage checkpoints go to tmpfs parquet (compressed, columnar, off-heap)
+    # stage checkpoints go to parquet (compressed, columnar, off-heap)
     # rather than heap-resident localCheckpoints — keeps GC pressure flat
-    # across core counts; this is also the production (catalog) path
-    workdir = f"/dev/shm/translink-work-{args.cores}"
+    # across core counts; this is also the production (catalog) path.
+    # TRANSLINK_BENCH_WORKBASE picks the medium (tmpfs vs disk A/B).
+    workbase = os.environ.get("TRANSLINK_BENCH_WORKBASE", "/dev/shm")
+    workdir = f"{workbase}/translink-work-{args.cores}"
     shutil.rmtree(workdir, ignore_errors=True)
 
     transcripts = spark.read.parquet(args.input)
