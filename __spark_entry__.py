@@ -735,6 +735,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_stat_sim_pairs_fast"] = q_doc_stat_sim_fast
 
+    def q_emb_dup_pairs_lsh(spark, sf_dir):
+        """Corpus-scale twin of emb_dup_pairs: hyperplane-LSH candidates +
+        Arrow cosine. Rows-only (random-hyperplane buckets have no SQL
+        twin); recall vs the exact baseline is pinned at the operator's
+        design regime (planted near-dups, tau >= 0.9) in tests/test_ann.py.
+        At the fixture's demo threshold 0.4 the hyperplane collision
+        probability is low by design, so the parameters here trade bucket
+        width for recall (4 planes x 16 tables ~ 0.94 expected)."""
+        from translink.ann import cosine_dup_pairs_lsh
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return cosine_dup_pairs_lsh(
+            emb, tau=0.4, dim=64, n_planes=4, n_tables=16
+        )
+    q["emb_dup_pairs_lsh"] = q_emb_dup_pairs_lsh
+
+    # -- q28: embedding-cosine near-dup (the 5th dedup family: exact,
+    #          MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine) -----
+    def q_emb_dup_pairs(spark, sf_dir):
+        """Exact embedding-cosine near-dup pairs (oracle baseline). The
+        fixture embeddings carry no planted near-dups (max pair cosine
+        ~0.51), so the demo threshold 0.4 selects the top of the cosine
+        distribution; the operator's design regime is tau >= 0.9."""
+        from translink.ann import cosine_dup_pairs
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return cosine_dup_pairs(emb, tau=0.4)
+    q["emb_dup_pairs"] = q_emb_dup_pairs
+
+    def q_emb_dup_clusters(spark, sf_dir):
+        """Near-dup clusters over the exact threshold edges — the same
+        large-star/small-star CC loop as the transcript pipeline, oracle-
+        checked against a recursive-CTE reachability query."""
+        from translink.ann import cosine_dup_clusters
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return cosine_dup_clusters(emb, tau=0.4, method="exact")
+    q["emb_dup_clusters"] = q_emb_dup_clusters
+
     def q_lsh_blocked_clusters(spark, sf_dir):
         """Full engine pipeline (LSH + JW scorer) — the flagship, rows-only
         because MinHash banding + the pandas-UDF scorer have no SQL twin."""
@@ -1179,6 +1215,43 @@ SELECT query_id, neighbor_id,
        cosine
 FROM scored
 QUALIFY "rank" <= 5
+"""
+
+    o["emb_dup_pairs"] = """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+          * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cosine
+  FROM d a JOIN d b ON a.vec_id < b.vec_id
+)
+SELECT vec_id_a, vec_id_b, cosine FROM scored WHERE cosine >= 0.4
+"""
+
+    o["emb_dup_clusters"] = """
+WITH RECURSIVE d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+          * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cosine
+  FROM d a JOIN d b ON a.vec_id < b.vec_id
+),
+edges AS (
+  SELECT vec_id_a AS src, vec_id_b AS dst FROM scored WHERE cosine >= 0.4
+),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst, src FROM edges
+),
+reach(a, b) AS (
+  SELECT vec_id, vec_id FROM d
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src
+)
+SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a
 """
 
     o["knn_label_vote"] = """

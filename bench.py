@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
+    "emb_dup_pairs_lsh",
     "event_exact_dedup",
 ]
 

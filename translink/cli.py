@@ -1,9 +1,11 @@
 """Command-line entry point — the analog of the reference's clap CLI
 (``src/main.rs:23-57``): input, output, performance profile, format.
 
-Ships via spark-submit::
+Ships via spark-submit (the primary file is ``scripts/submit_job.py`` —
+spark-submit cannot run ``-m`` modules; ``scripts/make_pyfiles.py`` builds
+the deterministic package zip)::
 
-    spark-submit --py-files translink.zip -m translink.cli ...  # cluster
+    spark-submit --py-files dist/translink.zip scripts/submit_job.py ...
     python -m translink.cli --input t.parquet --workdir work    # local
 
 The profile presets mirror the reference's standard/high/ultra performance
