@@ -750,6 +750,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["emb_dup_pairs_lsh"] = q_emb_dup_pairs_lsh
 
+    def q_doc_decontam_fast(spark, sf_dir):
+        """Arrow scale path of doc_decontam: grams are 64-bit shingle
+        hashes (8-byte join keys, no text on the exchange). Rows-only —
+        the hash family has no SQL twin; tests/test_decontam.py pins exact
+        parity of all four output columns against the expr form."""
+        from translink.textops import doc_decontaminate
+        d = _docs(spark, sf_dir)
+        is_bench = (F.col("doc_id") % 17 == 0) & (F.col("doc_id") < 1000000)
+        return doc_decontaminate(
+            d.filter(~is_bench), d.filter(is_bench),
+            shingle_n=8, method="arrow",
+        )
+    q["doc_decontam_fast"] = q_doc_decontam_fast
+
+    # -- q29: benchmark decontamination (n-gram overlap + exact match) ----
+    def q_doc_decontam(spark, sf_dir):
+        """Training-corpus decontamination against a benchmark slice
+        (doc_id % 17 == 0 of the originals): per-doc matched-8-gram count,
+        exact-text flag, contamination verdict. expr method = the
+        ANSI-reproducible oracle path; the Arrow twin below is the public
+        default."""
+        from translink.textops import doc_decontaminate
+        d = _docs(spark, sf_dir)
+        is_bench = (F.col("doc_id") % 17 == 0) & (F.col("doc_id") < 1000000)
+        return doc_decontaminate(
+            d.filter(~is_bench), d.filter(is_bench),
+            shingle_n=8, method="expr",
+        )
+    q["doc_decontam"] = q_doc_decontam
+
     # -- q28: embedding-cosine near-dup (the 5th dedup family: exact,
     #          MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine) -----
     def q_emb_dup_pairs(spark, sf_dir):
@@ -1052,6 +1082,38 @@ QUALIFY group_size >= 2
 """
 
     coalesced_text = "coalesce(text, '')"
+    o["doc_decontam"] = f"""
+WITH {docs_cte},
+bench AS (
+  SELECT * FROM docs_planted WHERE doc_id % 17 = 0 AND doc_id < 1000000
+),
+train AS (
+  SELECT * FROM docs_planted WHERE NOT (doc_id % 17 = 0 AND doc_id < 1000000)
+),
+bgrams AS (
+  SELECT DISTINCT unnest({_shingles_sql(coalesced_text, 8)}) AS gram
+  FROM bench
+),
+dgrams AS (
+  SELECT doc_id, unnest({_shingles_sql(coalesced_text, 8)}) AS gram
+  FROM train
+),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS matched
+  FROM dgrams JOIN bgrams USING (gram) GROUP BY doc_id
+),
+bdig AS (
+  SELECT DISTINCT md5(coalesce(text, '')) AS bd FROM bench
+)
+SELECT t.doc_id,
+       CAST(coalesce(h.matched, 0) AS BIGINT) AS matched_ngrams,
+       (b.bd IS NOT NULL) AS exact_match,
+       (coalesce(h.matched, 0) >= 1 OR b.bd IS NOT NULL) AS contaminated
+FROM train t
+LEFT JOIN hits h USING (doc_id)
+LEFT JOIN bdig b ON md5(coalesce(t.text, '')) = b.bd
+"""
+
     o["doc_jaccard_pairs"] = f"""
 WITH {docs_cte},
 doc_blocked AS (

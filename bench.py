@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "doc_entropy_fast",
     "doc_char_histogram",
     "doc_stat_sim_pairs_fast",
+    "doc_decontam_fast",
     "dedup_keep_list",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",

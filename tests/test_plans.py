@@ -15,7 +15,10 @@ import __spark_entry__ as entry
 #: Queries whose plans legitimately contain a cross product: the exact
 #: ANN baselines are CONTRACTED to be query x corpus brute force (the
 #: correctness oracle for the LSH/IVF scale paths).
-CROSS_OK = {"ann_cosine_topk", "knn_label_vote"}
+#: queries whose contract IS the exact cross product (documented O(n^2)
+#: oracle baselines; every one has a bucketed scale twin)
+CROSS_OK = {"ann_cosine_topk", "knn_label_vote", "emb_dup_pairs",
+            "emb_dup_clusters"}
 
 SF_DIR = "/root/testdata/sf0.001"
 

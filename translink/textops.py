@@ -123,6 +123,91 @@ def doc_jaccard_pairs(
     return pairs.filter(F.col("jaccard") >= threshold)
 
 
+# -- benchmark decontamination ---------------------------------------------
+
+def doc_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 8,
+    min_matches: int = 1,
+    method: str = "arrow",
+) -> DataFrame:
+    """Flag training documents that overlap a benchmark/eval corpus — the
+    n-gram-overlap decontamination rule standard for LLM training data,
+    plus an exact-text check for documents too short to carry a full
+    n-gram. Returns one row per ``docs`` row:
+    (doc_id, matched_ngrams, exact_match, contaminated).
+
+    Scale shape (100 TB corpus vs MB-scale benchmark): the benchmark side
+    is shingled once and distinct-reduced before the join; the corpus side
+    streams through one shingle pass and an equi-join on the gram key. With
+    ``method='arrow'`` (default) grams are 64-bit hashes from the
+    vectorized shingle kernel (translink/signatures.py:make_shingle_udf) —
+    8-byte exchange keys, no text on the wire; ``method='expr'`` joins on
+    the literal gram string (ANSI-reproducible, the DuckDB-oracle path).
+    No broadcast (north rule): the sort-merge join's benchmark side is
+    trivially small, and a stop-phrase gram shared by many training docs
+    fans out only into the per-doc count aggregate (AQE skew-split bounds
+    the join partitions).
+    """
+    if method == "arrow":
+        from translink.signatures import make_shingle_udf
+
+        kern = make_shingle_udf(shingle_n)
+        sh_docs = kern(F.coalesce("text", F.lit("")))
+        sh_bench = kern(F.coalesce("text", F.lit("")))
+    elif method == "expr":
+        sh_docs = shingles_expr("coalesce(text, '')", shingle_n)
+        sh_bench = shingles_expr("coalesce(text, '')", shingle_n)
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'arrow' or 'expr')")
+
+    doc_grams = docs.repartition(_parallelism(docs)).select(
+        _ID, F.explode(sh_docs).alias("gram")
+    )
+    bench_grams = benchmark.select(F.explode(sh_bench).alias("gram")).distinct()
+    # shingle arrays are distinct per doc and the benchmark side is
+    # distinct-reduced, so count(*) == number of DISTINCT grams matched
+    hits = (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy(_ID)
+        .agg(F.count("*").alias("_m"))
+    )
+    bench_digests = benchmark.select(
+        F.md5(F.coalesce("text", F.lit(""))).alias("_bd")
+    ).distinct()
+    return (
+        docs.select(_ID, F.md5(F.coalesce("text", F.lit(""))).alias("_d"))
+        .join(hits, _ID, "left")
+        .join(bench_digests, F.col("_d") == F.col("_bd"), "left")
+        .select(
+            _ID,
+            F.coalesce("_m", F.lit(0)).cast("long").alias("matched_ngrams"),
+            F.col("_bd").isNotNull().alias("exact_match"),
+            (
+                (F.coalesce("_m", F.lit(0)) >= F.lit(int(min_matches)))
+                | F.col("_bd").isNotNull()
+            ).alias("contaminated"),
+        )
+    )
+
+
+def doc_decontaminated_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 8,
+    min_matches: int = 1,
+    method: str = "arrow",
+) -> DataFrame:
+    """The clean corpus: ``docs`` minus every document
+    ``doc_decontaminate`` flags. Anti-join on doc_id, so document payloads
+    never shuffle — only ids move."""
+    flagged = doc_decontaminate(
+        docs, benchmark, shingle_n, min_matches, method
+    ).filter(F.col("contaminated")).select(_ID)
+    return docs.join(flagged, _ID, "left_anti")
+
+
 # -- MinHash-LSH near-dup (the scale path) ---------------------------------
 
 def doc_minhash_lsh_pairs(
