@@ -764,6 +764,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_decontam_fast"] = q_doc_decontam_fast
 
+    def q_doc_containment_fast(spark, sf_dir):
+        """Arrow twin of doc_containment_pairs (64-bit hashed grams on the
+        inverted index). Rows-only; tests/test_textops.py pins parity of
+        ids and both containment directions against the expr form."""
+        from translink.textops import doc_containment_pairs
+        return doc_containment_pairs(
+            _docs(spark, sf_dir), threshold=0.8, method="arrow"
+        )
+    q["doc_containment_pairs_fast"] = q_doc_containment_fast
+
+    # -- q30: shingle containment (sub-document duplication) --------------
+    def q_doc_containment(spark, sf_dir):
+        """Directed containment pairs |A∩B|/|A| — catches short-in-long
+        duplication that Jaccard's union dilutes and its length-bucket
+        blocking cannot pair. expr = oracle path."""
+        from translink.textops import doc_containment_pairs
+        return doc_containment_pairs(
+            _docs(spark, sf_dir), threshold=0.8, method="expr"
+        )
+    q["doc_containment_pairs"] = q_doc_containment
+
     # -- q29: benchmark decontamination (n-gram overlap + exact match) ----
     def q_doc_decontam(spark, sf_dir):
         """Training-corpus decontamination against a benchmark slice
@@ -1112,6 +1133,43 @@ SELECT t.doc_id,
 FROM train t
 LEFT JOIN hits h USING (doc_id)
 LEFT JOIN bdig b ON md5(coalesce(t.text, '')) = b.bd
+"""
+
+    o["doc_containment_pairs"] = f"""
+WITH {docs_cte},
+shingled AS (
+  SELECT doc_id, {_shingles_sql(coalesced_text, 3)} AS shingles
+  FROM docs_planted
+),
+nonempty AS (
+  SELECT * FROM shingled WHERE len(shingles) > 0
+),
+grams AS (
+  SELECT doc_id, unnest(shingles) AS gram FROM nonempty
+),
+rare AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 64
+),
+indexed AS (
+  SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM indexed a JOIN indexed b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_id_a, c.doc_id_b,
+         len(list_intersect(sa.shingles, sb.shingles))
+           / len(sa.shingles) AS containment_a_in_b,
+         len(list_intersect(sa.shingles, sb.shingles))
+           / len(sb.shingles) AS containment_b_in_a
+  FROM cand c
+  JOIN nonempty sa ON sa.doc_id = c.doc_id_a
+  JOIN nonempty sb ON sb.doc_id = c.doc_id_b
+)
+SELECT * FROM scored
+WHERE greatest(containment_a_in_b, containment_b_in_a) >= 0.8
 """
 
     o["doc_jaccard_pairs"] = f"""

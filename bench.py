@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "doc_char_histogram",
     "doc_stat_sim_pairs_fast",
     "doc_decontam_fast",
+    "doc_containment_pairs_fast",
     "dedup_keep_list",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",

@@ -144,6 +144,7 @@ ENV_PREFIX = "TRANSLINK_"
 #: consumed by session.py / bench harnesses, never an error in load_config.
 RUNTIME_ENV_VARS = frozenset({
     "TRANSLINK_LOCAL_DIR", "TRANSLINK_IO_CODEC", "TRANSLINK_DRIVER_MEM",
+    "TRANSLINK_JAVA_OPTS", "TRANSLINK_BENCH_WORKBASE",
 })
 
 

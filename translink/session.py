@@ -56,10 +56,13 @@ def get_spark(
         # holds one) with "Retried waiting for GCLocker too often" — seen at
         # bench scale on small heaps. Retrying harder is the documented
         # mitigation and costs nothing when uncontended.
+        # TRANSLINK_JAVA_OPTS appends extra JVM flags (GC experiments etc.).
         "spark.driver.extraJavaOptions":
-            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 "
+            + os.environ.get("TRANSLINK_JAVA_OPTS", ""),
         "spark.executor.extraJavaOptions":
-            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 "
+            + os.environ.get("TRANSLINK_JAVA_OPTS", ""),
         # Compression split, A/B-measured (PLANS.md): checkpoint parquet uses
         # zstd (cold data, written once, ~2x smaller than snappy — bytes at
         # rest and re-read are pure memory-bandwidth cost on this box, whose

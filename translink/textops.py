@@ -123,6 +123,88 @@ def doc_jaccard_pairs(
     return pairs.filter(F.col("jaccard") >= threshold)
 
 
+# -- shingle containment (sub-document duplication) ------------------------
+
+def doc_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    df_cap: int = 64,
+    method: str = "arrow",
+) -> DataFrame:
+    """Directed shingle-containment pairs: ``|A ∩ B| / |A|`` (and the
+    ``/ |B|`` direction), keeping pairs where EITHER direction clears
+    ``threshold``. Catches sub-document duplication — a short document
+    quoted inside a long one — which symmetric Jaccard misses (the long
+    side's extra shingles dilute the union), and which the Jaccard
+    operator's length-bucket blocking cannot even pair up.
+
+    Two phases, both corpus-scale shapes:
+
+    1. CANDIDATES from an inverted shingle index with a document-frequency
+       cap: grams appearing in more than ``df_cap`` documents are dropped
+       from candidate generation (standard frequency filtering — a pair
+       sharing only ubiquitous grams is not a containment candidate, and
+       the cap bounds the index self-join's per-gram fan-out at ANY corpus
+       size).
+    2. VERIFY: shingle arrays join onto the deduplicated candidate id
+       pairs and the intersection is computed exactly — payloads ship only
+       for candidates, the same verify pattern as the MinHash path.
+
+    Output: (doc_id_a, doc_id_b, containment_a_in_b, containment_b_in_a)
+    with doc_id_a < doc_id_b. Documents with no shingles (empty text)
+    never pair. ``method='arrow'`` hashes grams to 64 bits (8-byte index
+    keys); ``method='expr'`` keeps gram strings, ANSI-reproducible for the
+    DuckDB oracle.
+    """
+    if method == "arrow":
+        from translink.signatures import make_shingle_udf
+
+        sh = make_shingle_udf(shingle_n)(F.coalesce("text", F.lit("")))
+    elif method == "expr":
+        sh = shingles_expr("coalesce(text, '')", shingle_n)
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'arrow' or 'expr')")
+
+    shingled = docs.repartition(_parallelism(docs)).select(
+        _ID, sh.alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    grams = shingled.select(_ID, F.explode("shingles").alias("gram"))
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= F.lit(int(df_cap)))
+        .select("gram")
+    )
+    indexed = grams.join(rare, "gram")
+    cand = (
+        indexed.select(F.col(_ID).alias("doc_id_a"), "gram")
+        .join(indexed.select(F.col(_ID).alias("doc_id_b"), "gram"), "gram")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    sets = shingled.select(_ID, "shingles")
+    scored = (
+        cand
+        .join(sets.select(F.col(_ID).alias("doc_id_a"),
+                          F.col("shingles").alias("_sa")), "doc_id_a")
+        .join(sets.select(F.col(_ID).alias("doc_id_b"),
+                          F.col("shingles").alias("_sb")), "doc_id_b")
+        .select(
+            "doc_id_a", "doc_id_b",
+            (F.size(F.array_intersect("_sa", "_sb"))
+             / F.size("_sa")).alias("containment_a_in_b"),
+            (F.size(F.array_intersect("_sa", "_sb"))
+             / F.size("_sb")).alias("containment_b_in_a"),
+        )
+    )
+    return scored.filter(
+        F.greatest("containment_a_in_b", "containment_b_in_a")
+        >= F.lit(float(threshold))
+    )
+
+
 # -- benchmark decontamination ---------------------------------------------
 
 def doc_decontaminate(
