@@ -774,6 +774,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_containment_pairs_fast"] = q_doc_containment_fast
 
+    # -- q31: boilerplate turns (turn-level exact dedup across convs) -----
+    def q_turn_boilerplate(spark, sf_dir):
+        """Turn values repeated across >= 3 distinct conversations (system
+        prompts, canned tool headers) — the turn-level analog of document
+        exact dedup; the shuffle carries digests, never turn text."""
+        from translink.canonicalize import turn_boilerplate
+        return turn_boilerplate(derive_transcripts(spark, sf_dir), min_convs=3)
+    q["turn_boilerplate"] = q_turn_boilerplate
+
+    def q_strip_boilerplate(spark, sf_dir):
+        """The curated corpus: transcripts minus boilerplate turns
+        (anti-join on (role, digest))."""
+        from translink.canonicalize import strip_boilerplate
+        return strip_boilerplate(derive_transcripts(spark, sf_dir), min_convs=3)
+    q["turn_strip_boilerplate"] = q_strip_boilerplate
+
     # -- q30: shingle containment (sub-document duplication) --------------
     def q_doc_containment(spark, sf_dir):
         """Directed containment pairs |A∩B|/|A| — catches short-in-long
@@ -1133,6 +1149,31 @@ SELECT t.doc_id,
 FROM train t
 LEFT JOIN hits h USING (doc_id)
 LEFT JOIN bdig b ON md5(coalesce(t.text, '')) = b.bd
+"""
+
+    o["turn_boilerplate"] = f"""
+WITH {_TRANSCRIPTS_SQL}
+SELECT role, md5(coalesce(text, '')) AS turn_md5,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars
+FROM transcripts_derived
+GROUP BY role, md5(coalesce(text, ''))
+HAVING count(DISTINCT conv_id) >= 3
+"""
+
+    o["turn_strip_boilerplate"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+bp AS (
+  SELECT role, md5(coalesce(text, '')) AS turn_md5
+  FROM transcripts_derived
+  GROUP BY role, md5(coalesce(text, ''))
+  HAVING count(DISTINCT conv_id) >= 3
+)
+SELECT t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts
+FROM transcripts_derived t
+ANTI JOIN bp
+  ON t.role = bp.role AND md5(coalesce(t.text, '')) = bp.turn_md5
 """
 
     o["doc_containment_pairs"] = f"""

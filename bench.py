@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk_ivf",
     "emb_dup_pairs_lsh",
     "event_exact_dedup",
+    "turn_boilerplate",
 ]
 
 

@@ -87,3 +87,58 @@ def test_empty_text_roundtrip(spark):
     c = canonicalize(t).first()
     assert c["canon_text"].count(TURN_SEP) == 1
     assert c["total_chars"] == 0
+
+
+# -- boilerplate turns ------------------------------------------------------
+
+def _bp_fixture(spark):
+    sysmsg = "you are a helpful assistant"
+    rows = []
+    for c in range(5):
+        rows.append((f"c{c}", 0, "user", sysmsg, None))
+        rows.append((f"c{c}", 1, "assistant", f"unique reply {c}", None))
+    # same text as sysmsg but a different role: distinct key
+    rows.append(("c9", 0, "assistant", sysmsg, None))
+    # repeated twice INSIDE one conversation only
+    rows.append(("c8", 0, "tool", "retry", None))
+    rows.append(("c8", 1, "tool", "retry", None))
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ), sysmsg
+
+
+def test_turn_boilerplate_flags_cross_conv_repeats(spark):
+    from translink.canonicalize import turn_boilerplate
+
+    df, sysmsg = _bp_fixture(spark)
+    got = turn_boilerplate(df, min_convs=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["role"] == "user" and r["n_convs"] == 5 and r["n_turns"] == 5
+    assert r["total_chars"] == 5 * len(sysmsg)
+
+
+def test_turn_boilerplate_keys_on_role_and_counts_distinct_convs(spark):
+    from translink.canonicalize import turn_boilerplate
+
+    df, _ = _bp_fixture(spark)
+    # role is part of the key: the assistant copy of the system text does
+    # not merge with the user copies; within-conversation repetition does
+    # not inflate n_convs
+    by_key = {(r["role"], r["n_convs"], r["n_turns"])
+              for r in turn_boilerplate(df, min_convs=1).collect()}
+    assert ("assistant", 1, 1) in by_key   # lone assistant copy of sysmsg
+    assert ("tool", 1, 2) in by_key        # c8's double retry: 1 conv, 2 turns
+
+
+def test_strip_boilerplate_removes_exactly_the_flagged_turns(spark):
+    from translink.canonicalize import strip_boilerplate
+
+    df, sysmsg = _bp_fixture(spark)
+    kept = strip_boilerplate(df, min_convs=3)
+    assert kept.columns == df.columns
+    rows = kept.collect()
+    assert not any(r["text"] == sysmsg and r["role"] == "user" for r in rows)
+    # everything else survives, including the same-text-other-role turn
+    assert len(rows) == df.count() - 5
+    assert any(r["conv_id"] == "c9" for r in rows)

@@ -92,6 +92,52 @@ def canonicalize(transcripts: DataFrame, cfg: LinkConfig | None = None) -> DataF
     return out
 
 
+def turn_boilerplate(transcripts: DataFrame, min_convs: int = 3) -> DataFrame:
+    """Boilerplate-turn report: exact (role, text) values repeated across
+    ``min_convs`` or more DISTINCT conversations — system prompts, canned
+    tool headers, templated greetings. In a training corpus these turns
+    repeat millions of times and silently re-weight the loss; this is the
+    turn-level analog of document exact-dedup.
+
+    Returns (role, turn_md5, n_convs, n_turns, total_chars), one row per
+    boilerplate turn value. Scale shape: turns reduce to 16-byte digests
+    BEFORE the aggregation exchange, so the shuffle carries
+    (role, digest, conv_id) — never turn text; both aggregates are
+    partial-merge (map-side combine). Recover the text by joining
+    ``turn_md5`` back onto the corpus.
+    """
+    keyed = transcripts.select(
+        "conv_id", "role",
+        F.md5(F.coalesce("text", F.lit(""))).alias("turn_md5"),
+        F.length(F.coalesce("text", F.lit(""))).cast("long").alias("_chars"),
+    )
+    return (
+        keyed.groupBy("role", "turn_md5")
+        .agg(
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.count("*").alias("n_turns"),
+            F.sum("_chars").alias("total_chars"),
+        )
+        .filter(F.col("n_convs") >= F.lit(int(min_convs)))
+    )
+
+
+def strip_boilerplate(transcripts: DataFrame, min_convs: int = 3) -> DataFrame:
+    """The curated corpus: ``transcripts`` minus every boilerplate turn
+    (anti-join on (role, digest) — turn payloads never shuffle). Turn
+    indices are NOT renumbered: downstream canonicalization orders by the
+    original ``turn_idx``, so gaps are harmless and the surviving turns
+    keep their provenance."""
+    bp = turn_boilerplate(transcripts, min_convs).select("role", "turn_md5")
+    keyed = transcripts.withColumn(
+        "turn_md5", F.md5(F.coalesce("text", F.lit("")))
+    )
+    return (
+        keyed.join(bp, ["role", "turn_md5"], "left_anti")
+        .select(*transcripts.columns)  # join keys first -> restore order
+    )
+
+
 def explode_canonical(canonical: DataFrame) -> DataFrame:
     """Inverse of canonicalize for invariant checking: split ``canon_text``
     back into ``(conv_id, turn_idx, role, text)`` rows. Used by tests to
