@@ -145,6 +145,7 @@ ENV_PREFIX = "TRANSLINK_"
 RUNTIME_ENV_VARS = frozenset({
     "TRANSLINK_LOCAL_DIR", "TRANSLINK_IO_CODEC", "TRANSLINK_DRIVER_MEM",
     "TRANSLINK_JAVA_OPTS", "TRANSLINK_BENCH_WORKBASE",
+    "TRANSLINK_ARROW_BATCH",
 })
 
 

@@ -72,9 +72,12 @@ def get_spark(
         # 56s zstd vs 36s lz4). Override via TRANSLINK_IO_CODEC.
         "spark.io.compression.codec": os.environ.get("TRANSLINK_IO_CODEC", "lz4"),
         "spark.sql.parquet.compression.codec": "zstd",
-        # Arrow batching for pandas UDFs (P6).
+        # Arrow batching for pandas UDFs (P6). Batch size is probe-able via
+        # TRANSLINK_ARROW_BATCH; 10000 measured best (PLANS.md — larger
+        # batches won nothing and raise python-worker peak memory).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.execution.arrow.maxRecordsPerBatch":
+            os.environ.get("TRANSLINK_ARROW_BATCH", "10000"),
         # Broadcast-free joins (P12 / north rule): the self-join sides are the
         # same table — broadcasting the build side would not survive 100x
         # scale-up, so we pin sort-merge.
