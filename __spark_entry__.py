@@ -868,6 +868,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_stats"] = q_stats
 
+    # -- repetition signals (Gopher-style quality features) ----------------
+    def q_repetition(spark, sf_dir):
+        """Expression form (explode + hash aggregations) — ANSI-reproducible
+        for the DuckDB oracle; the public default is the Arrow kernel."""
+        from translink.textops import doc_repetition
+        return doc_repetition(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), method="expr"
+        )
+    q["doc_repetition"] = q_repetition
+
+    def q_repetition_fast(spark, sf_dir):
+        """Arrow scale path: JVM token hashes + one zero-shuffle kernel pass.
+        Rows-only (64-bit token hashes have no DuckDB twin); value parity vs
+        the expression form is pytest-asserted."""
+        from translink.textops import doc_repetition
+        return doc_repetition(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), method="arrow"
+        )
+    q["doc_repetition_fast"] = q_repetition_fast
+
+    # -- passage-level dedup (sub-document granularity) --------------------
+    def q_passage_stats(spark, sf_dir):
+        """Expression form: corpus-wide grouping on the passage STRING —
+        DuckDB-reproducible; the public default groups on 8-byte hashes."""
+        from translink.textops import doc_passage_stats
+        return doc_passage_stats(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), method="expr"
+        )
+    q["doc_passage_stats"] = q_passage_stats
+
+    def q_passage_stats_fast(spark, sf_dir):
+        """Hash scale path: passages reduced to xxhash64 keys JVM-side, the
+        corpus-wide exchange moves 24-byte rows instead of text. Rows-only;
+        parity vs the expression form is pytest-asserted."""
+        from translink.textops import doc_passage_stats
+        return doc_passage_stats(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), method="hash"
+        )
+    q["doc_passage_stats_fast"] = q_passage_stats_fast
+
     return q
 
 
@@ -1588,6 +1628,79 @@ SELECT doc_id_a, doc_id_b, hist_cosine, entropy_sim,
 FROM scored
 WHERE (CAST(2 AS DOUBLE) * hist_cosine * CAST(100 AS DOUBLE)
        + entropy_sim) / CAST(3 AS DOUBLE) >= CAST(0 AS DOUBLE)
+"""
+
+    o["doc_repetition"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-zA-Z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tokc AS (
+  SELECT doc_id, max(c) AS max_tok
+  FROM (SELECT doc_id, tk, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tk FROM t) GROUP BY doc_id, tk)
+  GROUP BY doc_id
+),
+bigc AS (
+  SELECT doc_id, max(c) AS max_bg, count(*) AS n_distinct_bg
+  FROM (SELECT doc_id, bg, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i + 1])) AS bg
+              FROM t WHERE len(toks) >= 2)
+        GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+       CASE WHEN len(toks) > 0 THEN coalesce(max_tok, 0) / len(toks)
+            ELSE 0.0 END AS top_token_frac,
+       CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+       CASE WHEN len(toks) >= 2 THEN coalesce(max_bg, 0) / (len(toks) - 1)
+            ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN len(toks) >= 2
+            THEN (len(toks) - 1 - coalesce(n_distinct_bg, 0)) / (len(toks) - 1)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM t LEFT JOIN tokc USING (doc_id) LEFT JOIN bigc USING (doc_id)
+"""
+
+    o["doc_passage_stats"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-zA-Z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+passages AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS passage_idx,
+         array_to_string(toks[(i - 1) * 16 + 1:(i - 1) * 16 + 16], ' ') AS p
+  FROM t, UNNEST(CASE WHEN len(toks) = 0 THEN []
+                      ELSE generate_series(1, CAST(ceil(len(toks) / 16.0) AS BIGINT))
+                 END) AS u(i)
+),
+ranked AS (
+  SELECT doc_id, passage_idx,
+         count(*) OVER (PARTITION BY p) AS occ,
+         row_number() OVER (PARTITION BY p ORDER BY doc_id, passage_idx) AS rn
+  FROM passages
+),
+per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_passages,
+         sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup,
+         sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_red
+  FROM ranked GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(n_passages, 0) AS BIGINT) AS n_passages,
+       CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_passages,
+       CAST(coalesce(n_red, 0) AS BIGINT) AS n_redundant_passages,
+       CASE WHEN coalesce(n_passages, 0) > 0 THEN coalesce(n_dup, 0) / n_passages
+            ELSE 0.0 END AS dup_passage_frac
+FROM t LEFT JOIN per_doc USING (doc_id)
 """
 
     return o

@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "emb_dup_pairs_lsh",
     "event_exact_dedup",
     "turn_boilerplate",
+    "doc_repetition_fast",
+    "doc_passage_stats_fast",
 ]
 
 

@@ -232,3 +232,85 @@ def test_fingerprint(spark, docs):
     assert got[0]["fingerprint_xx64"] == got[1]["fingerprint_xx64"]
     assert got[0]["fingerprint_md5"] != got[2]["fingerprint_md5"]
     assert len(got[0]["fingerprint_prefix"]) == 8
+
+
+# -- repetition signals ------------------------------------------------------
+
+def test_repetition_known_values(spark):
+    from translink.textops import doc_repetition
+
+    df = spark.createDataFrame(
+        [
+            (0, "a a a a"),            # one token repeated 4x
+            (1, "a b a b a b"),        # top bigram 'a b' x3 of 5 bigrams
+            (2, "w x y z"),            # all unique
+            (3, ""),                   # empty
+            (4, None),                 # null
+            (5, "solo"),               # single token -> no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in doc_repetition(df, method="expr").collect()}
+    assert got[0]["n_tokens"] == 4 and got[0]["top_token_frac"] == 1.0
+    assert got[0]["n_bigrams"] == 3 and got[0]["dup_bigram_frac"] == 2 / 3
+    assert got[1]["top_bigram_frac"] == 3 / 5           # 'a b' x3, 'b a' x2
+    assert got[1]["dup_bigram_frac"] == 3 / 5           # 5 bigrams, 2 distinct
+    assert got[2]["top_token_frac"] == 1 / 4 and got[2]["dup_bigram_frac"] == 0.0
+    for i in (3, 4):
+        assert got[i]["n_tokens"] == 0 and got[i]["top_token_frac"] == 0.0
+    assert got[5]["n_bigrams"] == 0 and got[5]["top_bigram_frac"] == 0.0
+
+
+def test_repetition_arrow_expr_parity(spark, docs):
+    """Bigram direction matters: the kernel's adjacent-hash mix must not be
+    symmetric, and every ratio must equal the expression form bit-for-bit."""
+    from translink.textops import doc_repetition
+
+    extra = spark.createDataFrame(
+        [(100, "x y x y x"), (101, "y x y x y"), (102, "p q q p p q")],
+        "doc_id long, text string",
+    ).selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+                 "length(text) AS n_chars")
+    corpus = docs.unionByName(extra)
+    exp = {r["doc_id"]: tuple(r) for r in doc_repetition(corpus, method="expr").collect()}
+    arr = {r["doc_id"]: tuple(r) for r in doc_repetition(corpus, method="arrow").collect()}
+    assert exp == arr
+
+
+# -- passage-level dedup -----------------------------------------------------
+
+def test_passage_stats_known_values(spark):
+    from translink.textops import doc_passage_stats
+
+    base = " ".join(f"t{i}" for i in range(16))         # one full passage
+    uniq = " ".join(f"u{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [
+            (0, base + " " + uniq),    # passages: [base, uniq]
+            (1, base),                 # duplicate of doc 0's first passage
+            (2, "tail only"),          # one short (tail) passage
+            (3, ""),                   # no tokens -> zero passages
+        ],
+        "doc_id long, text string",
+    )
+    for method in ("expr", "hash"):
+        got = {r["doc_id"]: r for r in doc_passage_stats(df, method=method).collect()}
+        assert got[0]["n_passages"] == 2
+        assert got[0]["n_dup_passages"] == 1            # base passage occurs twice
+        assert got[0]["n_redundant_passages"] == 0      # doc 0 holds the canonical copy
+        assert got[0]["dup_passage_frac"] == 0.5
+        assert got[1]["n_dup_passages"] == 1 and got[1]["n_redundant_passages"] == 1
+        assert got[2]["n_passages"] == 1 and got[2]["n_dup_passages"] == 0
+        assert got[3]["n_passages"] == 0 and got[3]["dup_passage_frac"] == 0.0
+
+
+def test_passage_stats_hash_expr_parity(spark, docs):
+    from translink.textops import doc_passage_stats
+
+    exp = {r["doc_id"]: tuple(r)
+           for r in doc_passage_stats(docs, passage_tokens=4, method="expr").collect()}
+    hsh = {r["doc_id"]: tuple(r)
+           for r in doc_passage_stats(docs, passage_tokens=4, method="hash").collect()}
+    assert exp == hsh
+    # the shared 'the quick brown fox...' docs must show cross-doc passage dups
+    assert exp[0][2] > 0  # n_dup_passages

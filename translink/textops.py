@@ -730,3 +730,229 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         F.xxhash64(text).alias("fingerprint_xx64"),
         F.length(text).cast("long").alias("n_chars_measured"),
     )
+
+
+# -- repetition signals (Gopher-style quality features) ----------------------
+
+_REPETITION_FIELDS = [
+    ("n_tokens", "long"), ("n_unique_tokens", "long"),
+    ("top_token_frac", "double"), ("n_bigrams", "long"),
+    ("top_bigram_frac", "double"), ("dup_bigram_frac", "double"),
+]
+
+
+def _repetition_struct_type():
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    return StructType([
+        StructField(name, LongType() if t == "long" else DoubleType())
+        for name, t in _REPETITION_FIELDS
+    ])
+
+
+@pandas_udf(_repetition_struct_type())
+def _repetition_kernel(hashes: pd.Series) -> pd.DataFrame:
+    """Per-document token/bigram repetition counts over 64-bit token hashes,
+    fully vectorized across the Arrow batch.
+
+    Per-(row, value) counts come from one ``np.lexsort`` + run-length pass
+    over the flattened (row_idx, hash) pairs; bigram hashes are derived in
+    numpy from adjacent token hashes (``h[i]*PHI64 ^ rot17(h[i+1])`` —
+    order-sensitive so 'a b' != 'b a') with the row-boundary positions
+    masked out, then counted by the same pass. All ratios are one IEEE
+    divide of exact integer counts, so the values match the expression
+    form bit-for-bit (absent 64-bit token-hash collisions, which the
+    parity test pins at fixture scale)."""
+    import numpy as np
+
+    n_rows = len(hashes)
+    arrs = [
+        np.asarray(v, dtype=np.int64) if v is not None else np.empty(0, np.int64)
+        for v in hashes
+    ]
+    lens = np.fromiter((len(a) for a in arrs), np.int64, count=n_rows)
+    total = int(lens.sum())
+    n_uniq = np.zeros(n_rows, np.int64)
+    max_tok = np.zeros(n_rows, np.int64)
+    max_bg = np.zeros(n_rows, np.int64)
+    n_distinct_bg = np.zeros(n_rows, np.int64)
+
+    def _group_counts(r, v):
+        order = np.lexsort((v, r))
+        rs, vs = r[order], v[order]
+        new = np.ones(len(rs), bool)
+        new[1:] = (rs[1:] != rs[:-1]) | (vs[1:] != vs[:-1])
+        gid = np.cumsum(new) - 1
+        return rs[new].astype(np.intp), np.bincount(gid)
+
+    if total:
+        flat = np.concatenate([a for a in arrs if len(a)])
+        row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        grow, counts = _group_counts(row_idx, flat)
+        n_uniq = np.bincount(grow, minlength=n_rows).astype(np.int64)
+        np.maximum.at(max_tok, grow, counts)
+        same_row = row_idx[1:] == row_idx[:-1]
+        if same_row.any():
+            u = flat.view(np.uint64)
+            bh = (u[:-1] * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                (u[1:] << np.uint64(17)) | (u[1:] >> np.uint64(47))
+            )
+            brow = row_idx[1:][same_row]
+            growb, countsb = _group_counts(brow, bh[same_row].view(np.int64))
+            n_distinct_bg = np.bincount(growb, minlength=n_rows).astype(np.int64)
+            np.maximum.at(max_bg, growb, countsb)
+
+    n_bg = np.maximum(lens - 1, 0)
+    safe_n = np.maximum(lens, 1).astype(np.float64)
+    safe_bg = np.maximum(n_bg, 1).astype(np.float64)
+    return pd.DataFrame({
+        "n_tokens": lens,
+        "n_unique_tokens": n_uniq,
+        "top_token_frac": max_tok / safe_n,
+        "n_bigrams": n_bg,
+        "top_bigram_frac": max_bg / safe_bg,
+        "dup_bigram_frac": (n_bg - n_distinct_bg) / safe_bg,
+    })
+
+
+def doc_repetition(docs: DataFrame, method: str = "arrow") -> DataFrame:
+    """Within-document repetition signals for training-data curation — the
+    Gopher-style repetition filters (Rae et al. 2021, arXiv:2112.11446 §A1.1)
+    on token granularity: fraction of tokens belonging to the most frequent
+    token, most frequent bigram, and the duplicate-bigram fraction. The
+    reference's structure-analysis stage computes the same family of
+    repetition ratios per file (``src/pipeline/quick_check.rs:333-370``).
+
+    Output: (doc_id, n_tokens, n_unique_tokens, top_token_frac, n_bigrams,
+    top_bigram_frac, dup_bigram_frac). Empty/null text -> zeros.
+
+    ``method='arrow'`` (default, the scale path): token hashes are computed
+    JVM-side (codegen xxhash64 inside one single-level transform) and one
+    Arrow kernel pass counts per-row — ZERO shuffle, O(corpus tokens)
+    map-side work. ``method='expr'``: explode + two hash aggregations,
+    ANSI-reproducible for the DuckDB oracle, but it shuffles one row per
+    token + one per bigram of the corpus — never the public default at
+    scale. Ratios agree bit-for-bit (same integer counts, one divide)."""
+    toks = F.array_remove(
+        F.split(F.lower(F.coalesce("text", F.lit(""))), "[^a-zA-Z0-9]+"), ""
+    )
+    if method == "arrow":
+        hashed = docs.repartition(_parallelism(docs)).select(
+            _ID, F.transform(toks, lambda t: F.xxhash64(t)).alias("_th")
+        )
+        return hashed.select(
+            _ID, _repetition_kernel(F.col("_th")).alias("_r")
+        ).select(_ID, "_r.*")
+    base = docs.select(_ID, toks.alias("_toks"))
+    tok_counts = (
+        base.select(_ID, F.explode("_toks").alias("tk"))
+        .groupBy(_ID, "tk").agg(F.count("*").alias("c"))
+        .groupBy(_ID).agg(F.max("c").alias("_max_tok"))
+    )
+    bigram = F.expr(
+        "transform(sequence(1, size(_toks) - 1), "
+        "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+    )
+    bg_counts = (
+        base.filter(F.size("_toks") >= 2)
+        .select(_ID, F.explode(bigram).alias("bg"))
+        .groupBy(_ID, "bg").agg(F.count("*").alias("c"))
+        .groupBy(_ID).agg(
+            F.max("c").alias("_max_bg"), F.count("*").alias("_n_distinct_bg")
+        )
+    )
+    n = F.col("_n")
+    return (
+        base.select(
+            _ID,
+            F.size("_toks").cast("long").alias("_n"),
+            F.size(F.array_distinct("_toks")).cast("long").alias("_nu"),
+        )
+        .join(tok_counts, _ID, "left")
+        .join(bg_counts, _ID, "left")
+        .select(
+            _ID,
+            n.alias("n_tokens"),
+            F.col("_nu").alias("n_unique_tokens"),
+            F.when(n > 0, F.coalesce("_max_tok", F.lit(0)) / n)
+            .otherwise(F.lit(0.0)).alias("top_token_frac"),
+            F.greatest(n - 1, F.lit(0)).cast("long").alias("n_bigrams"),
+            F.when(n >= 2, F.coalesce("_max_bg", F.lit(0)) / (n - 1))
+            .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+            F.when(n >= 2, (n - 1 - F.coalesce("_n_distinct_bg", F.lit(0))) / (n - 1))
+            .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+        )
+    )
+
+
+# -- passage-level dedup (sub-document granularity) --------------------------
+
+def doc_passage_stats(
+    docs: DataFrame, passage_tokens: int = 16, method: str = "hash"
+) -> DataFrame:
+    """Corpus-wide EXACT dedup at sub-document (k-token passage) granularity
+    — the training-data operation behind substring/passage dedup (Lee et al.
+    2022, arXiv:2107.06499): a document that is globally unique can still be
+    90% boilerplate passages copied across the corpus. Documents are split
+    into consecutive ``passage_tokens``-token passages (tail passage kept,
+    possibly shorter); a passage is *duplicated* if its exact token sequence
+    occurs anywhere else in the corpus, and *redundant* if it is not the
+    canonical first occurrence (ordered by doc_id, passage_idx). The
+    reference's hash-and-group stage applies the same content-equality
+    grouping at whole-file granularity (``src/pipeline/stats.rs:63-118``).
+
+    Output: (doc_id, n_passages, n_dup_passages, n_redundant_passages,
+    dup_passage_frac); docs with no tokens report zeros.
+
+    ``method='hash'`` (default, the scale path): passages are reduced
+    JVM-side to 8-byte ``xxhash64`` keys over the token-array slice — the
+    corpus-wide grouping is a genuine shuffle (cross-document equality needs
+    one) but it moves 24-byte rows, never text. ``method='expr'`` groups on
+    the passage STRING (ANSI-reproducible for the DuckDB oracle): the
+    exchange then carries the corpus text — oracle-only at scale."""
+    toks = F.array_remove(
+        F.split(F.lower(F.coalesce("text", F.lit(""))), "[^a-zA-Z0-9]+"), ""
+    )
+    k = int(passage_tokens)
+    payload = (
+        f"array_join(slice(_toks, (i - 1) * {k} + 1, {k}), ' ')"
+        if method == "expr"
+        else f"xxhash64(slice(_toks, (i - 1) * {k} + 1, {k}))"
+    )
+    passages_expr = F.expr(
+        "CASE WHEN size(_toks) = 0 THEN array() ELSE "
+        f"transform(sequence(1, cast(ceil(size(_toks) / {k}.0) as int)), "
+        f"i -> {payload}) END"
+    )
+    base = docs.select(_ID, toks.alias("_toks"))
+    passages = base.select(
+        _ID, F.posexplode(passages_expr).alias("passage_idx", "p")
+    )
+    w_occ = Window.partitionBy("p")
+    w_rank = Window.partitionBy("p").orderBy(_ID, "passage_idx")
+    per_doc = (
+        passages.select(
+            _ID,
+            F.count("*").over(w_occ).alias("occ"),
+            F.row_number().over(w_rank).alias("rn"),
+        )
+        .groupBy(_ID)
+        .agg(
+            F.count("*").alias("_np"),
+            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("_nd"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("_nr"),
+        )
+    )
+    return (
+        base.select(_ID)
+        .join(per_doc, _ID, "left")
+        .select(
+            _ID,
+            F.coalesce("_np", F.lit(0)).cast("long").alias("n_passages"),
+            F.coalesce("_nd", F.lit(0)).cast("long").alias("n_dup_passages"),
+            F.coalesce("_nr", F.lit(0)).cast("long").alias("n_redundant_passages"),
+            F.when(
+                F.coalesce("_np", F.lit(0)) > 0, F.coalesce("_nd", F.lit(0)) / F.col("_np")
+            ).otherwise(F.lit(0.0)).alias("dup_passage_frac"),
+        )
+    )
