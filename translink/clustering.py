@@ -112,23 +112,30 @@ def connected_components(
 
     Convergence: iterate large-star/small-star until the edge set is a fixed
     point (checked with count + bit_xor hash — overflow-safe under ANSI).
-    Each iteration localCheckpoints to truncate lineage.
+    Each iteration localCheckpoints to truncate lineage; the signature rides
+    the SAME job as the eager checkpoint via ``Observation`` (measured to
+    populate on ``localCheckpoint(eager=True)``), so every round costs one
+    driver action instead of two — iteration-barrier latency is the flat,
+    per-round cost that does not amortize with input size.
     """
+    from pyspark.sql import Observation
+
     cfg = cfg or LinkConfig()
-    e = _canonical_edges(edges).localCheckpoint(eager=True)
 
-    def _sig(df: DataFrame):
-        row = df.select(
-            F.count("*").alias("n"),
+    def _observed_checkpoint(df: DataFrame):
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).first()
-        return (row["n"], row["h"])
+        ).localCheckpoint(eager=True)
+        metrics = obs.get
+        return out, (metrics["n"], metrics["h"])
 
-    prev = _sig(e)
+    e, prev = _observed_checkpoint(_canonical_edges(edges))
     converged = False
     for _ in range(cfg.cc_max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = _sig(e)
+        e, cur = _observed_checkpoint(_small_star(_large_star(e)))
         if cur == prev:
             converged = True
             break
