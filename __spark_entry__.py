@@ -621,6 +621,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return doc_token_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     q["doc_token_stats"] = q_tokens
 
+    # -- PII detection / redaction (curation pass; pure codegen map) ------
+    def q_pii_flags(spark, sf_dir):
+        from translink.pii import doc_pii_flags
+        return doc_pii_flags(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    q["doc_pii_flags"] = q_pii_flags
+
+    def q_pii_redact(spark, sf_dir):
+        from translink.pii import doc_pii_redact
+        return doc_pii_redact(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    q["doc_pii_redact"] = q_pii_redact
+
+    # -- per-source curation stats (digest-keyed dup rate, size profile) --
+    def q_source_stats(spark, sf_dir):
+        from translink.textops import doc_source_stats
+        return doc_source_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    q["doc_source_stats"] = q_source_stats
+
     # -- q17: fingerprints (H10/H11) — md5 columns only (xxhash64 has no
     #          DuckDB twin, so it is excluded from the oracle-checked set) --
     def q_fingerprint(spark, sf_dir):
@@ -1701,6 +1718,35 @@ SELECT t.doc_id,
        CASE WHEN coalesce(n_passages, 0) > 0 THEN coalesce(n_dup, 0) / n_passages
             ELSE 0.0 END AS dup_passage_frac
 FROM t LEFT JOIN per_doc USING (doc_id)
+"""
+
+    # PII oracles are generated from the SAME pattern table as the Spark
+    # queries (translink/pii.py) so the regexes can never drift.
+    from translink.pii import pii_oracle_sql
+    o.update(pii_oracle_sql())
+
+    o["doc_source_stats"] = """
+WITH d AS (
+  SELECT source,
+         length(coalesce(text, '')) AS n,
+         md5(coalesce(text, '')) AS digest
+  FROM documents
+),
+g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT digest) AS BIGINT) AS n_unique_texts,
+         CAST(sum(n) AS BIGINT) AS total_chars,
+         CAST(min(n) AS BIGINT) AS min_chars,
+         CAST(max(n) AS BIGINT) AS max_chars
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, n_unique_texts,
+       1.0 - n_unique_texts / CAST(n_docs AS DOUBLE) AS dup_frac,
+       total_chars,
+       total_chars / CAST(n_docs AS DOUBLE) AS mean_chars,
+       min_chars, max_chars
+FROM g
 """
 
     return o

@@ -719,6 +719,51 @@ def doc_token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_source_stats(docs: DataFrame) -> DataFrame:
+    """Per-source curation dashboard: volume, exact-duplicate rate, and size
+    profile for every ``source`` in the corpus.
+
+    This is the aggregate a 100 TB curation run keys its source-level
+    keep/drop decisions off (a crawl seed whose duplicate fraction is 0.9 is
+    boilerplate; one whose mean length is 40 chars is navigation chrome).
+    Reference analog: the per-scan global statistics block
+    (``src/pipeline/stats.rs:156-183``) sliced by source instead of whole-run.
+
+    One shuffle on the (low-cardinality) source key; the duplicate rate
+    comes from a digest count-distinct so only 16-byte md5s reach the
+    exchange, never text.
+    """
+    text = F.coalesce("text", F.lit(""))
+    return (
+        docs.select(
+            "source",
+            F.length(text).cast("long").alias("n"),
+            F.md5(text).alias("digest"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("digest").alias("n_unique_texts"),
+            F.sum("n").alias("total_chars"),
+            F.min("n").alias("min_chars"),
+            F.max("n").alias("max_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_texts",
+            (
+                F.lit(1.0)
+                - F.col("n_unique_texts") / F.col("n_docs")
+            ).alias("dup_frac"),
+            "total_chars",
+            (F.col("total_chars") / F.col("n_docs")).alias("mean_chars"),
+            "min_chars",
+            "max_chars",
+        )
+    )
+
+
 # -- fingerprints (H10/H11 analog) -----------------------------------------
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
