@@ -621,6 +621,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return doc_token_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     q["doc_token_stats"] = q_tokens
 
+    # -- end-to-end document dedup verdict (exact + near-dup -> CC) -------
+    def q_doc_dedup_keep(spark, sf_dir):
+        from translink.textops import doc_dedup_keep
+        return doc_dedup_keep(_docs(spark, sf_dir))
+    q["doc_dedup_keep"] = q_doc_dedup_keep
+
     # -- PII detection / redaction (curation pass; pure codegen map) ------
     def q_pii_flags(spark, sf_dir):
         from translink.pii import doc_pii_flags
@@ -1330,6 +1336,56 @@ FROM h
     # preserves set sizes (hence the exact Jaccard doubles) modulo 64-bit
     # collisions, so the string-shingle oracle checks it directly
     o["doc_jaccard_pairs_fast"] = o["doc_jaccard_pairs"]
+
+    o["doc_dedup_keep"] = f"""
+WITH RECURSIVE {docs_cte},
+doc_blocked AS (
+  SELECT doc_id,
+         concat(coalesce(lang, ''), '|',
+                CAST(CAST(floor(length(coalesce(text, '')) / 64) AS BIGINT) AS VARCHAR)) AS block_key,
+         {_shingles_sql(coalesced_text)} AS shingles
+  FROM docs_planted
+),
+doc_salted AS (
+  SELECT *,
+         CAST((row_number() OVER (PARTITION BY block_key ORDER BY doc_id) - 1)
+              % CAST(ceil(count(*) OVER (PARTITION BY block_key) / 64.0) AS BIGINT) AS INT) AS salt
+  FROM doc_blocked
+),
+near_edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 1.0
+                ELSE len(list_intersect(a.shingles, b.shingles))
+                     / len(list_distinct(list_concat(a.shingles, b.shingles))) END AS jaccard
+    FROM doc_salted a JOIN doc_salted b
+      ON a.block_key = b.block_key AND a.salt = b.salt AND a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+),
+exact_star AS (
+  SELECT r.src, r.dst FROM (
+    SELECT min(doc_id) OVER (PARTITION BY text) AS src, doc_id AS dst
+    FROM docs_planted
+  ) r WHERE r.src <> r.dst
+),
+all_edges AS (
+  SELECT src, dst FROM near_edges
+  UNION
+  SELECT src, dst FROM exact_star
+),
+sym AS (
+  SELECT src, dst FROM all_edges
+  UNION
+  SELECT dst, src FROM all_edges
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM docs_planted
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src
+)
+SELECT a AS doc_id, min(b) AS cluster_id, min(b) = a AS keep
+FROM reach GROUP BY a
+"""
 
     o["doc_entropy"] = """
 WITH base AS (

@@ -314,3 +314,42 @@ def test_passage_stats_hash_expr_parity(spark, docs):
     assert exp == hsh
     # the shared 'the quick brown fox...' docs must show cross-doc passage dups
     assert exp[0][2] > 0  # n_dup_passages
+
+
+def test_doc_dedup_keep_transitive(spark):
+    """A near-dup of a near-dup drops even when the endpoints\' own Jaccard
+    misses the threshold: 0-1 exact, 0-2 near (J=.71), 2-3 near (J=.50),
+    but J(0,3)=.33 < threshold => still one component {0,1,2,3}, keeper 0."""
+    from translink.textops import doc_dedup_keep
+
+    toks = [f"tok{i:02d}" for i in range(20)]
+    def variant(*changes):
+        t = list(toks)
+        for pos in changes:
+            t[pos] = f"xxx{pos:02d}"
+        return " ".join(t)
+
+    rows = [
+        (0, variant(), "en"),
+        (1, variant(), "en"),            # exact dup of 0
+        (2, variant(5), "en"),           # near dup of 0/1
+        (3, variant(5, 10, 15), "en"),   # near dup of 2, NOT of 0
+        (4, "totally unrelated content about spark query planning", "en"),
+        (5, None, "en"),                 # null text singleton
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lang, "src", len(t or "")) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in doc_dedup_keep(df, threshold=0.5).collect()}
+    assert len(got) == 6                       # every doc gets a verdict
+    assert got[0] == (0, True)
+    assert got[1] == (0, False)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)                # transitive: via 2
+    assert got[4] == (4, True)
+    assert got[5] == (5, True)
+    # sanity: direct jaccard 0<->3 is below the threshold (the closure did it)
+    direct = doc_jaccard_pairs(df, threshold=0.5).collect()
+    assert not any({r["doc_id_a"], r["doc_id_b"]} == {0, 3} for r in direct)

@@ -719,6 +719,60 @@ def doc_token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_dedup_keep(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    length_bucket: int = 64,
+    max_block_size: int = 64,
+    salt_mode: str = "rank",
+    method: str = "arrow",
+    cfg: LinkConfig | None = None,
+) -> DataFrame:
+    """End-to-end document dedup decision: ``(doc_id, cluster_id, keep)``
+    for EVERY document, with exactly one keeper (the minimum doc_id) per
+    duplicate component.
+
+    This is the curation pipeline's terminal verdict — the composition of
+    exact dedup (byte-identical texts), blocked shingle-Jaccard near-dup
+    edges, and large-star/small-star transitive resolution (a near-dup of a
+    near-dup drops even when the endpoints' own Jaccard misses the
+    threshold). Mirrors the conversation pipeline's exact+fuzzy merge
+    (translink/pipeline.py) on the flat document corpus; reference analog:
+    the full scan -> group -> verify -> report chain in
+    ``src/pipeline/mod.rs:99-118``.
+
+    Scale shape: exact edges are linear star edges off a digest window
+    (never text through the exchange), near-dup edges come from the salted
+    block join, and CC shuffles 16-byte edge rows for O(log n) rounds.
+    """
+    cfg = cfg or LinkConfig()
+    exact_edges = (
+        doc_exact_dup_clusters(docs)
+        .filter(F.col(_ID) != F.col("cluster_id"))
+        .select(F.col("cluster_id").alias("src"), F.col(_ID).alias("dst"))
+    )
+    near_edges = doc_jaccard_pairs(
+        docs, threshold, shingle_n, length_bucket,
+        max_block_size, salt_mode, method,
+    ).select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+
+    from translink.clustering import connected_components
+
+    comp = connected_components(
+        exact_edges.unionByName(near_edges), cfg
+    ).select(F.col("conv_id").alias(_ID), "cluster_id")
+    return (
+        docs.select(_ID)
+        .join(comp, _ID, "left")
+        .select(
+            _ID,
+            F.coalesce("cluster_id", F.col(_ID)).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col(_ID)) == F.col(_ID)).alias("keep"),
+        )
+    )
+
+
 def doc_source_stats(docs: DataFrame) -> DataFrame:
     """Per-source curation dashboard: volume, exact-duplicate rate, and size
     profile for every ``source`` in the corpus.
