@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "turn_boilerplate",
     "doc_repetition_fast",
     "doc_passage_stats_fast",
+    "doc_dedup_keep",
+    "doc_pii_flags",
+    "doc_source_stats",
 ]
 
 
