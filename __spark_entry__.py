@@ -621,6 +621,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return doc_token_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     q["doc_token_stats"] = q_tokens
 
+    # -- event-time sessionization (T-family; native session_window) ------
+    def q_event_sessions(spark, sf_dir):
+        """Batch twin of translink.streaming.sessions.sessionize_events with
+        the repo's deterministic-double-sum fold (sorted values, round 9) so
+        the order-dependent sum cannot drift from the DuckDB oracle; the
+        library API keeps the natural F.sum."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+            F.col("ts").isNotNull()
+        )
+        return (
+            ev.groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count("*").alias("n_events"),
+                F.array_sort(
+                    F.collect_list(F.coalesce("value", F.lit(0.0)))
+                ).alias("_v"),
+            )
+            .select(
+                "user_id", "session_start", "session_end", "n_events",
+                F.round(
+                    F.expr("aggregate(_v, cast(0.0 as double), (acc, v) -> acc + v)"),
+                    9,
+                ).alias("total_value"),
+            )
+        )
+    q["event_sessions"] = q_event_sessions
+
     # -- end-to-end document dedup verdict (exact + near-dup -> CC) -------
     def q_doc_dedup_keep(spark, sf_dir):
         from translink.textops import doc_dedup_keep
@@ -1780,6 +1809,9 @@ FROM t LEFT JOIN per_doc USING (doc_id)
     # queries (translink/pii.py) so the regexes can never drift.
     from translink.pii import pii_oracle_sql
     o.update(pii_oracle_sql())
+
+    from translink.streaming.sessions import session_oracle_sql
+    o["event_sessions"] = session_oracle_sql(30)
 
     o["doc_source_stats"] = """
 WITH d AS (

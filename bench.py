@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "turn_boilerplate",
     "doc_repetition_fast",
     "doc_passage_stats_fast",
+    "event_sessions",
     "doc_dedup_keep",
     "doc_pii_flags",
     "doc_source_stats",
