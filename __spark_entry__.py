@@ -621,6 +621,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return doc_token_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     q["doc_token_stats"] = q_tokens
 
+    # -- typed JSON extraction + rollup over the props column --------------
+    def q_event_props_stats(spark, sf_dir):
+        """from_json (codegen Jackson, no UDF) pulls props.k, then a
+        per-event-type rollup — extraction + aggregation in one exchange."""
+        from translink.jsonops import parse_json_col
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (
+            parse_json_col(ev, "k BIGINT", "props")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.count("k").alias("n_with_k"),
+                F.sum("k").alias("k_sum"),
+                F.min("k").alias("k_min"),
+                F.max("k").alias("k_max"),
+            )
+        )
+    q["event_props_stats"] = q_event_props_stats
+
     # -- event-time sessionization (T-family; native session_window) ------
     def q_event_sessions(spark, sf_dir):
         """Batch twin of translink.streaming.sessions.sessionize_events with
@@ -1812,6 +1831,21 @@ FROM t LEFT JOIN per_doc USING (doc_id)
 
     from translink.streaming.sessions import session_oracle_sql
     o["event_sessions"] = session_oracle_sql(30)
+
+    o["event_props_stats"] = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max
+FROM e GROUP BY event_type
+"""
 
     o["doc_source_stats"] = """
 WITH d AS (

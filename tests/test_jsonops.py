@@ -1,0 +1,33 @@
+"""Typed JSON extraction: schema-driven projection, malformed-row verdicts."""
+
+from translink.jsonops import parse_json_col
+
+
+def test_parse_json_col(spark):
+    rows = [
+        (1, '{"k": 7, "tag": "a"}'),
+        (2, '{"k": -3}'),                 # missing field -> null tag
+        (3, 'not json at all'),           # malformed -> all nulls, row kept
+        (4, None),                        # null payload -> all nulls
+        (5, '{"k": "12"}'),               # type mismatch: NOT coerced
+    ]
+    df = spark.createDataFrame(rows, "event_id long, props string")
+    got = {
+        r["event_id"]: (r["k"], r["tag"])
+        for r in parse_json_col(df, "k BIGINT, tag STRING").collect()
+    }
+    assert got[1] == (7, "a")
+    assert got[2] == (-3, None)
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+    # PERMISSIVE pins type fidelity: a JSON string is NOT silently coerced
+    # to BIGINT (unlike a SQL CAST) — the mismatched parse yields nulls
+    assert got[5] == (None, None)
+    assert len(got) == 5                  # malformed rows are kept, not dropped
+
+
+def test_parse_json_col_prefix_keeps_existing(spark):
+    df = spark.createDataFrame([(1, "x", '{"k": 1}')],
+                               "event_id long, event_type string, props string")
+    out = parse_json_col(df, "k BIGINT", "props", prefix="props_")
+    assert out.columns == ["event_id", "event_type", "props", "props_k"]
