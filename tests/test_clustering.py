@@ -84,3 +84,46 @@ def test_exact_edges_are_linear(spark, tiny):
     n_members = ec.count()
     n_groups = ec.select("cluster_id").distinct().count()
     assert ee.count() == n_members - n_groups  # n-1 edges per group
+
+
+def test_random_graphs_match_union_find(spark):
+    """Property test: on seeded random graphs the large-star/small-star loop
+    must agree with a reference union-find (min-id labels) — covers shapes
+    (cycles, cross-links, disconnected blobs) the fixed fixtures don't."""
+    import random
+
+    def union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # relabel every member to its component minimum
+        members = {}
+        for x in list(parent):
+            members.setdefault(find(x), []).append(x)
+        return {x: root for root, xs in members.items()
+                for x in xs}
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = rng.choice([12, 40, 90])
+        m = rng.randint(n // 2, 2 * n)
+        edges = [
+            (f"c{rng.randrange(n):03d}", f"c{rng.randrange(n):03d}")
+            for _ in range(m)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        if not edges:
+            continue
+        want = union_find_labels(edges)
+        got = _cc(spark, edges)
+        assert got == want, f"trial {trial} (n={n}, m={m})"
