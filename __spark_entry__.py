@@ -686,6 +686,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return doc_pii_redact(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     q["doc_pii_redact"] = q_pii_redact
 
+    # -- link-density quality signals (URL count / hosts / char fraction) --
+    def q_url_stats(spark, sf_dir):
+        from translink.textops import doc_url_stats
+        return doc_url_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    q["doc_url_stats"] = q_url_stats
+
     # -- per-source curation stats (digest-keyed dup rate, size profile) --
     def q_source_stats(spark, sf_dir):
         from translink.textops import doc_source_stats
@@ -1845,6 +1851,22 @@ SELECT event_type,
        CAST(min(k) AS BIGINT) AS k_min,
        CAST(max(k) AS BIGINT) AS k_max
 FROM e GROUP BY event_type
+"""
+
+    o["doc_url_stats"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         coalesce(text, '') AS txt,
+         regexp_extract_all(coalesce(text, ''), 'https?://[^\s]+') AS urls,
+         regexp_extract_all(coalesce(text, ''), 'https?://([^/\s]+)', 1) AS hosts
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(urls) AS BIGINT) AS n_urls,
+       CAST(len(list_distinct(hosts)) AS BIGINT) AS n_unique_hosts,
+       coalesce(list_sum(list_transform(urls, u -> length(u))), 0)
+         / greatest(length(txt), 1) AS url_char_frac
+FROM t
 """
 
     o["doc_source_stats"] = """

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "event_sessions",
     "doc_dedup_keep",
     "doc_pii_flags",
+    "doc_url_stats",
     "doc_source_stats",
 ]
 

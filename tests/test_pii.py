@@ -81,3 +81,26 @@ def test_source_stats(pii_docs):
         len(t) for t in ("server at 192.168.1.254 answered, backup at 10.0.0.1",
                          "two mails: a@b.io c@d.org and ip 8.8.8.8")
     )
+
+
+def test_url_stats(spark):
+    from translink.textops import doc_url_stats
+
+    rows = [
+        (0, "see https://example.com/a and http://example.com/b plus https://other.org", "en", "web"),
+        (1, "no links at all in this prose", "en", "web"),
+        (2, "https://x.io", "en", "web"),   # document that IS one link
+        (3, None, "en", "web"),
+        (4, "", "en", "web"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, l, s, len(t or "")) for i, t, l, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r.asDict() for r in doc_url_stats(df).collect()}
+    assert got[0]["n_urls"] == 3
+    assert got[0]["n_unique_hosts"] == 2            # example.com counted once
+    assert 0 < got[0]["url_char_frac"] < 1
+    assert got[1]["n_urls"] == 0 and got[1]["url_char_frac"] == 0.0
+    assert got[2]["n_urls"] == 1 and got[2]["url_char_frac"] == 1.0
+    assert got[3]["n_urls"] == 0 and got[4]["n_urls"] == 0

@@ -818,6 +818,30 @@ def doc_source_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_url_stats(docs: DataFrame) -> DataFrame:
+    """Per-document link signals: URL count, distinct hosts, and the
+    fraction of characters inside URLs — the classic link-density quality
+    filter (a page that is mostly links is navigation, not prose).
+
+    Pure codegen column ops over the portable Java/RE2 regex subset (same
+    discipline as translink/pii.py): one map pass, no UDF, no shuffle."""
+    text = F.coalesce("text", F.lit(""))
+    url_pat = r"https?://[^\s]+"
+    host_pat = r"https?://([^/\s]+)"
+    urls = F.regexp_extract_all(text, F.lit(url_pat), F.lit(0))
+    hosts = F.regexp_extract_all(text, F.lit(host_pat), F.lit(1))
+    url_chars = F.expr(
+        f"aggregate(regexp_extract_all(coalesce(text, ''), '{url_pat}', 0), "
+        "cast(0 as bigint), (acc, u) -> acc + length(u))"
+    )
+    return docs.select(
+        _ID,
+        F.size(urls).cast("long").alias("n_urls"),
+        F.size(F.array_distinct(hosts)).cast("long").alias("n_unique_hosts"),
+        (url_chars / F.greatest(F.length(text), F.lit(1))).alias("url_char_frac"),
+    )
+
+
 # -- fingerprints (H10/H11 analog) -----------------------------------------
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
