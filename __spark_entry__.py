@@ -686,6 +686,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return doc_pii_redact(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     q["doc_pii_redact"] = q_pii_redact
 
+    # -- CCNet-style line-level boilerplate strip ---------------------------
+    def q_line_dedup(spark, sf_dir):
+        from translink.textops import doc_line_dedup
+        return doc_line_dedup(_docs(spark, sf_dir), min_docs=3)
+    q["doc_line_dedup"] = q_line_dedup
+
     # -- link-density quality signals (URL count / hosts / char fraction) --
     def q_url_stats(spark, sf_dir):
         from translink.textops import doc_url_stats
@@ -1851,6 +1857,38 @@ SELECT event_type,
        CAST(min(k) AS BIGINT) AS k_min,
        CAST(max(k) AS BIGINT) AS k_max
 FROM e GROUP BY event_type
+"""
+
+    o["doc_line_dedup"] = f"""
+WITH {docs_cte},
+split_docs AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+  FROM docs_planted
+),
+lines AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS line_idx, ls[i] AS line
+  FROM split_docs, UNNEST(generate_series(1, len(ls))) AS u(i)
+),
+bp AS (
+  SELECT line FROM lines WHERE line <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+),
+kept AS (
+  SELECT l.* FROM lines l LEFT JOIN bp ON l.line = bp.line
+  WHERE bp.line IS NULL
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id
+),
+kept_agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(line, chr(10) ORDER BY line_idx) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_lines,
+       p.n_lines - coalesce(k.n_kept, 0) AS n_stripped,
+       coalesce(k.clean_text, '') AS clean_text
+FROM per_doc p LEFT JOIN kept_agg k USING (doc_id)
 """
 
     o["doc_url_stats"] = r"""

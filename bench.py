@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "doc_dedup_keep",
     "doc_pii_flags",
     "doc_url_stats",
+    "doc_line_dedup",
     "doc_source_stats",
 ]
 

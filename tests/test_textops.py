@@ -353,3 +353,34 @@ def test_doc_dedup_keep_transitive(spark):
     # sanity: direct jaccard 0<->3 is below the threshold (the closure did it)
     direct = doc_jaccard_pairs(df, threshold=0.5).collect()
     assert not any({r["doc_id_a"], r["doc_id_b"]} == {0, 3} for r in direct)
+
+
+def test_doc_line_dedup(spark):
+    """Lines repeated across >= min_docs distinct documents are stripped
+    from every document; order of survivors is preserved; empty lines are
+    never treated as boilerplate."""
+    from translink.textops import doc_line_dedup
+
+    banner = "COOKIE BANNER accept all"
+    footer = "copyright 2026 example inc"
+    rows = [
+        (0, f"{banner}\nunique alpha content\n\n{footer}"),
+        (1, f"{banner}\nunique beta content\n{footer}"),
+        (2, f"{banner}\nunique gamma content\n{footer}"),
+        (3, "totally unique document\nwith its own two lines"),
+        (4, None),
+        (5, banner),                       # document that IS one banner line
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "web", len(t or "")) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r.asDict() for r in doc_line_dedup(df, min_docs=3).collect()}
+    assert got[0]["clean_text"] == "unique alpha content\n"   # empty line kept
+    assert got[0]["n_lines"] == 4 and got[0]["n_stripped"] == 2
+    assert got[1]["clean_text"] == "unique beta content"
+    assert got[3]["n_stripped"] == 0
+    assert got[3]["clean_text"] == "totally unique document\nwith its own two lines"
+    assert got[4]["clean_text"] == "" and got[4]["n_lines"] == 1  # null -> ['']
+    assert got[5]["clean_text"] == "" and got[5]["n_stripped"] == 1
+    assert set(got) == {0, 1, 2, 3, 4, 5}  # every doc gets a verdict

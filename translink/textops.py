@@ -818,6 +818,61 @@ def doc_source_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_line_dedup(docs: DataFrame, min_docs: int = 3) -> DataFrame:
+    """CCNet-style line-level boilerplate strip: a non-empty line occurring
+    in ``min_docs`` or more DISTINCT documents (headers, footers, cookie
+    banners, nav chrome) is dropped from every document; surviving lines
+    re-join in original order.
+
+    Returns (doc_id, n_lines, n_stripped, clean_text). The line-level
+    analog of ``translink.canonicalize.turn_boilerplate`` with the same
+    scale shape: lines reduce to 16-byte md5 digests BEFORE the counting
+    exchange and before the anti-join — line text never shuffles twice; the
+    reconstruction sorts collected (idx, line) structs per document, no
+    global window.
+    """
+    lines = docs.select(
+        _ID,
+        F.posexplode(
+            F.split(F.coalesce("text", F.lit("")), "\n")
+        ).alias("line_idx", "line"),
+    ).withColumn("line_md5", F.md5("line"))
+    bp = (
+        lines.filter(F.col("line") != "")
+        .groupBy("line_md5")
+        .agg(F.countDistinct(_ID).alias("n_docs"))
+        .filter(F.col("n_docs") >= F.lit(int(min_docs)))
+        .select("line_md5")
+    )
+    kept = lines.join(bp, "line_md5", "left_anti")
+    return (
+        lines.groupBy(_ID)
+        .agg(F.count("*").alias("n_lines"))
+        .join(
+            kept.groupBy(_ID).agg(
+                F.count("*").alias("n_kept"),
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("line_idx", "line"))
+                        ),
+                        lambda s: s.getField("line"),
+                    ),
+                ).alias("clean_text"),
+            ),
+            _ID,
+            "left",
+        )
+        .select(
+            _ID,
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_stripped"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def doc_url_stats(docs: DataFrame) -> DataFrame:
     """Per-document link signals: URL count, distinct hosts, and the
     fraction of characters inside URLs — the classic link-density quality
