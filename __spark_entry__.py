@@ -686,6 +686,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return doc_pii_redact(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     q["doc_pii_redact"] = q_pii_redact
 
+    # -- BPE-ish pre-tokenizer counts (what a token budget bills against) --
+    def q_bpe_tokens(spark, sf_dir):
+        from translink.textops import doc_bpe_token_stats
+        return doc_bpe_token_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    q["doc_bpe_token_stats"] = q_bpe_tokens
+
     # -- CCNet-style line-level boilerplate strip ---------------------------
     def q_line_dedup(spark, sf_dir):
         from translink.textops import doc_line_dedup
@@ -1857,6 +1863,28 @@ SELECT event_type,
        CAST(min(k) AS BIGINT) AS k_min,
        CAST(max(k) AS BIGINT) AS k_max
 FROM e GROUP BY event_type
+"""
+
+    # the SQL twin reuses the exact pattern constant (quotes doubled for the
+    # SQL literal) so the two engines cannot drift
+    from translink.textops import BPE_TOKEN_PATTERN
+    _bpe_sql_pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    o["doc_bpe_token_stats"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(coalesce(text, ''), '{_bpe_sql_pat}') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, toks,
+         list_filter(toks, x -> regexp_matches(x, '[^\\s]')) AS nonspace
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_pretokens_raw,
+       CAST(len(nonspace) AS BIGINT) AS n_bpe_pretokens,
+       CAST(len(list_distinct(nonspace)) AS BIGINT) AS n_unique_pretokens
+FROM f
 """
 
     o["doc_line_dedup"] = f"""

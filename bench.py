@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "doc_pii_flags",
     "doc_url_stats",
     "doc_line_dedup",
+    "doc_bpe_token_stats",
     "doc_source_stats",
 ]
 

@@ -384,3 +384,26 @@ def test_doc_line_dedup(spark):
     assert got[4]["clean_text"] == "" and got[4]["n_lines"] == 1  # null -> ['']
     assert got[5]["clean_text"] == "" and got[5]["n_stripped"] == 1
     assert set(got) == {0, 1, 2, 3, 4, 5}  # every doc gets a verdict
+
+
+def test_bpe_token_stats(spark):
+    from translink.textops import doc_bpe_token_stats
+
+    rows = [
+        (0, "I'll say it's 42 tokens, right?"),
+        (1, ""),
+        (2, None),
+        (3, "hello hello hello"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "web", len(t or "")) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r.asDict() for r in doc_bpe_token_stats(df).collect()}
+    # I | 'll | ' say' | ' it' | 's | ' 42' | ' tokens' | , | ' right' | ?
+    assert got[0]["n_bpe_pretokens"] == 10
+    assert got[0]["n_pretokens_raw"] == 10       # no pure-whitespace runs
+    assert got[1]["n_bpe_pretokens"] == 0
+    assert got[2]["n_bpe_pretokens"] == 0
+    assert got[3]["n_bpe_pretokens"] == 3        # hello, ' hello', ' hello'
+    assert got[3]["n_unique_pretokens"] == 2     # 'hello' != ' hello'

@@ -773,6 +773,35 @@ def doc_dedup_keep(
     )
 
 
+# GPT-2-style pre-tokenizer, restricted to the Java/RE2-portable subset
+# (no lookarounds, ASCII classes): contractions, space-prefixed letter runs,
+# space-prefixed digit runs, space-prefixed punctuation runs, whitespace
+# runs. Leftmost-first alternation tokenizes identically in both engines.
+BPE_TOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def doc_bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Pre-tokenizer-accurate token counts: the BPE-ish regex pass every
+    GPT-family tokenizer runs before merges. ``n_bpe_pretokens`` upper-
+    bounds (and at the pre-merge layer, equals) what a real tokenizer would
+    see far better than whitespace splitting — the count a token-budgeted
+    curation pipeline actually bills against. Whole-stage-codegen regex,
+    one map pass, no UDF; whitespace runs are excluded from the count
+    (they merge into following tokens in real BPE)."""
+    text = F.coalesce("text", F.lit(""))
+    toks = F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    nonspace = F.filter(toks, lambda t: t.rlike(r"[^\s]"))
+    return docs.select(
+        _ID,
+        F.size(toks).cast("long").alias("n_pretokens_raw"),
+        F.size(nonspace).cast("long").alias("n_bpe_pretokens"),
+        F.size(F.array_distinct(nonspace)).cast("long").alias("n_unique_pretokens"),
+    )
+
+
 def doc_source_stats(docs: DataFrame) -> DataFrame:
     """Per-source curation dashboard: volume, exact-duplicate rate, and size
     profile for every ``source`` in the corpus.
