@@ -997,6 +997,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_passage_stats_fast"] = q_passage_stats_fast
 
+    # -- deterministic sampling (hash-keyed, engine-reproducible) ----------
+    def q_sample_frac(spark, sf_dir):
+        """Zero-shuffle Bernoulli sample: Filter over the scan, no exchange."""
+        from translink.sampling import doc_sample_frac
+        return doc_sample_frac(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    q["doc_sample_frac"] = q_sample_frac
+
+    def q_sample_stratified(spark, sf_dir):
+        """Exact per-source quota by hash rank (reproducible stratified mix)."""
+        from translink.sampling import doc_sample_stratified
+        return doc_sample_stratified(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+    q["doc_sample_stratified"] = q_sample_stratified
+
+    # -- corpus-wide boilerplate mining (top-k frequent n-grams) -----------
+    def q_top_ngrams(spark, sf_dir):
+        from translink.textops import corpus_top_ngrams
+        return corpus_top_ngrams(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), n=3, k=20
+        )
+    q["doc_top_ngrams"] = q_top_ngrams
+
+    # -- per-source exact length percentiles (integer-exact histogram) -----
+    def q_source_percentiles(spark, sf_dir):
+        from translink.textops import doc_source_percentiles
+        return doc_source_percentiles(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+    q["doc_source_percentiles"] = q_source_percentiles
+
+    # -- as-of (temporal) join over the event stream ------------------------
+    def q_event_asof(spark, sf_dir):
+        """Union + one partitioned sort — the scalable ASOF encoding (no
+        range-join pair blowup, no broadcast)."""
+        from translink.temporal import event_asof_view_before_purchase
+        return event_asof_view_before_purchase(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        )
+    q["event_asof_join"] = q_event_asof
+
     return q
 
 
@@ -1957,6 +1998,81 @@ SELECT source, n_docs, n_unique_texts,
        total_chars / CAST(n_docs AS DOUBLE) AS mean_chars,
        min_chars, max_chars
 FROM g
+"""
+
+    o["doc_sample_frac"] = """
+SELECT doc_id, lang, source, n_chars,
+       substr(md5('s0:' || doc_id::VARCHAR), 1, 4) AS sample_key
+FROM documents
+WHERE substr(md5('s0:' || doc_id::VARCHAR), 1, 4) < '2000'
+"""
+
+    o["doc_sample_stratified"] = """
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         substr(md5('s0:' || doc_id::VARCHAR), 1, 4) AS k
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rn
+  FROM s
+)
+SELECT doc_id, source, n_chars, CAST(rn AS BIGINT) AS sample_rank
+FROM r WHERE rn <= 40
+"""
+
+    o["doc_top_ngrams"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-zA-Z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS ngram
+  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 3
+),
+pd AS (SELECT ngram, doc_id, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT ngram,
+       CAST(sum(c) AS BIGINT) AS n_occurrences,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pd GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT 20
+"""
+
+    o["doc_source_percentiles"] = """
+WITH h AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+t AS (
+  SELECT source, n_chars, c,
+         sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+         sum(c) OVER (PARTITION BY source) AS n
+  FROM h
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(min(CASE WHEN cum >= ceil(n * 0.5) THEN n_chars END) AS BIGINT) AS p50_chars,
+       CAST(min(CASE WHEN cum >= ceil(n * 0.9) THEN n_chars END) AS BIGINT) AS p90_chars,
+       CAST(min(CASE WHEN cum >= ceil(n * 0.99) THEN n_chars END) AS BIGINT) AS p99_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM t GROUP BY source
+"""
+
+    o["event_asof_join"] = """
+WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+v AS (
+  SELECT user_id, ts, max(event_id) AS vid
+  FROM e WHERE event_type = 'view'
+  GROUP BY user_id, ts
+),
+p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts,
+       v.vid AS view_event_id, v.ts AS view_ts,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 """
 
     return o

@@ -1,0 +1,102 @@
+"""As-of join: semantics (<= vs strict <), null handling for unmatched
+rows, tie determinism, and the union+window plan shape (one exchange,
+no join operator, no broadcast)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from translink.temporal import asof_join, event_asof_view_before_purchase
+
+T0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _mins(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _mins(10)),   # matches right at 5
+            (2, 100, _mins(20)),   # matches right at 20 (equal ts, <= semantics)
+            (3, 100, _mins(3)),    # before any right row -> null
+            (4, 200, _mins(50)),   # user with no right rows at all -> null
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (11, 100, _mins(5)),
+            (12, 100, _mins(20)),
+        ],
+        "rid long, user_id long, ts timestamp",
+    )
+    return left, right
+
+
+def test_asof_join_le_semantics(spark):
+    left, right = _sides(spark)
+    got = {
+        r["event_id"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, keys=["user_id"], ts_col="ts", payload_cols=["rid"]
+        ).collect()
+    }
+    assert got == {1: 11, 2: 12, 3: None, 4: None}
+
+
+def test_asof_join_strict_excludes_equal_ts(spark):
+    left, right = _sides(spark)
+    got = {
+        r["event_id"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, keys=["user_id"], ts_col="ts",
+            payload_cols=["rid"], strict=True,
+        ).collect()
+    }
+    # event 2 (ts == right ts 20) now falls back to the row at ts 5
+    assert got == {1: 11, 2: 11, 3: None, 4: None}
+
+
+def test_asof_join_keeps_every_left_row_and_columns(spark):
+    left, right = _sides(spark)
+    out = asof_join(left, right, keys=["user_id"], ts_col="ts",
+                    payload_cols=["rid"])
+    assert out.columns == ["event_id", "user_id", "ts", "asof_rid"]
+    assert out.count() == left.count()
+
+
+def test_asof_plan_is_one_window_no_join(spark):
+    left, right = _sides(spark)
+    plan = asof_join(
+        left, right, keys=["user_id"], ts_col="ts", payload_cols=["rid"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan           # union+window, never a join operator
+    assert "Broadcast" not in plan
+    assert plan.count("Exchange") == 1  # one shuffle on the key, total
+
+
+def test_event_asof_view_before_purchase(spark):
+    events = spark.createDataFrame(
+        [
+            (1, 7, _mins(0), "view", 0.0, "{}"),
+            (2, 7, _mins(0), "view", 0.0, "{}"),    # tie on (user, ts): max id wins
+            (3, 7, _mins(9), "purchase", 1.0, "{}"),
+            (4, 7, _mins(30), "view", 0.0, "{}"),
+            (5, 7, _mins(30), "purchase", 1.0, "{}"),  # equal-ts view counts
+            (6, 8, _mins(5), "purchase", 1.0, "{}"),   # user with no views
+            (7, 9, _mins(1), "click", 0.0, "{}"),      # other types ignored
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    rows = {
+        r["event_id"]: (r["view_event_id"], r["gap_us"])
+        for r in event_asof_view_before_purchase(events).collect()
+    }
+    assert rows == {
+        3: (2, 9 * 60 * 1_000_000),
+        5: (4, 0),
+        6: (None, None),
+    }

@@ -407,3 +407,60 @@ def test_bpe_token_stats(spark):
     assert got[2]["n_bpe_pretokens"] == 0
     assert got[3]["n_bpe_pretokens"] == 3        # hello, ' hello', ' hello'
     assert got[3]["n_unique_pretokens"] == 2     # 'hello' != ' hello'
+
+
+def test_corpus_top_ngrams_known_values(spark):
+    from translink.textops import corpus_top_ngrams
+
+    rows = [
+        (1, "the quick brown fox. The quick brown dog"),
+        (2, "THE QUICK brown cat"),
+        (3, "xy"),          # < n tokens: contributes nothing
+        (4, None),          # null text: contributes nothing
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["ngram"]: (r["n_occurrences"], r["n_docs"])
+        for r in corpus_top_ngrams(docs, n=3, k=2).collect()
+    }
+    # "the quick brown" occurs twice in doc 1 and once in doc 2; the second
+    # slot goes to the lexicographically smallest of the count-1 grams
+    assert got["the quick brown"] == (3, 2)
+    assert got["brown fox the"] == (1, 1)
+
+
+def test_corpus_top_ngrams_tie_break_is_total(spark):
+    from translink.textops import corpus_top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "b b b"), (2, "a a a"), (3, "c c c")],
+        "doc_id long, text string",
+    )
+    grams = [r["ngram"] for r in corpus_top_ngrams(docs, n=3, k=2).collect()]
+    assert grams == ["a a a", "b b b"]  # equal counts -> gram asc
+
+
+def test_source_percentiles_match_numpy_definition(spark):
+    import math
+
+    from translink.textops import doc_source_percentiles
+
+    lengths = {"s0": [5, 1, 9, 3, 7], "s1": list(range(1, 101))}
+    rows, i = [], 0
+    for src, ls in lengths.items():
+        for n in ls:
+            rows.append((i, src, n))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r["source"]: r.asDict() for r in doc_source_percentiles(docs).collect()}
+
+    for src, ls in lengths.items():
+        s = sorted(ls)
+        n = len(s)
+        exp = {p: s[math.ceil(p * n) - 1] for p in (0.5, 0.9, 0.99)}
+        assert got[src]["n_docs"] == n
+        assert got[src]["min_chars"] == s[0]
+        assert got[src]["max_chars"] == s[-1]
+        assert got[src]["p50_chars"] == exp[0.5]
+        assert got[src]["p90_chars"] == exp[0.9]
+        assert got[src]["p99_chars"] == exp[0.99]

@@ -1163,3 +1163,97 @@ def doc_passage_stats(
             ).otherwise(F.lit(0.0)).alias("dup_passage_frac"),
         )
     )
+
+
+# -- corpus-wide boilerplate mining (top-k frequent n-grams) -----------------
+
+def corpus_top_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Most frequent word ``n``-grams across the corpus with occurrence and
+    document-frequency counts — the mining pass behind boilerplate lists
+    (``doc_line_dedup`` consumes line-level dupes; this surfaces phrase-level
+    templates worth stripping or decontaminating against).
+
+    Plan shape at scale: one map pass generates grams (``transform`` over the
+    token array — JVM codegen, no explode-per-char anywhere), one hash
+    aggregation with map-side partial combine on the gram key, then a
+    ``TakeOrderedAndProject`` top-k — no global sort materializes. Document
+    frequency comes from a per-(gram, doc) pre-distinct, the standard
+    two-step that keeps the count-distinct exchange keyed on (gram, doc_id)
+    instead of funneling per-gram sets. Ties at rank k are broken by gram
+    text, so the result is a total order in every engine.
+
+    Reference analog: the reference counts duplicate groups and sizes
+    corpus-wide (``src/pipeline/stats.rs``); this is the same global
+    frequency rollup at n-gram granularity.
+    """
+    toks = F.array_remove(
+        F.split(F.lower(F.coalesce("text", F.lit(""))), "[^a-zA-Z0-9]+"), ""
+    )
+    gram_parts = ", ".join(f"element_at(_toks, i + {j})" for j in range(n))
+    grams = (
+        docs.select(_ID, toks.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(
+            _ID,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_toks) - {n - 1}), "
+                    f"i -> concat_ws(' ', {gram_parts}))"
+                )
+            ).alias("ngram"),
+        )
+    )
+    per_doc = grams.groupBy("ngram", _ID).agg(F.count("*").alias("_c"))
+    return (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.sum("_c").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+# -- per-source exact length percentiles (histogram-based, integer-exact) ---
+
+def doc_source_percentiles(docs: DataFrame) -> DataFrame:
+    """Per-source discrete length percentiles (p50/p90/p99) plus min/max —
+    the size-profile pass a dataset-mix report needs, computed EXACTLY and
+    in integers (no interpolation, so Spark and any SQL engine agree bit
+    for bit).
+
+    Scale path: the corpus is first collapsed to a per-(source, n_chars)
+    histogram (hash aggregation, map-side combine — the only exchange that
+    sees corpus-cardinality rows). The cumulative window then runs over
+    DISTINCT length values per source, not rows, so the sort inside the
+    window is bounded by value cardinality (~max document length), not by
+    corpus size. The discrete p-th percentile is the smallest length whose
+    cumulative count reaches ``ceil(p * n)``.
+    """
+    hist = docs.groupBy("source", "n_chars").agg(F.count("*").alias("_c"))
+    w_cum = Window.partitionBy("source").orderBy("n_chars")
+    w_all = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "n_chars",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+
+    def _pick(p: float, name: str) -> F.Column:
+        need = F.ceil(F.col("_n") * F.lit(p))
+        return (
+            F.min(F.when(F.col("_cum") >= need, F.col("n_chars")))
+            .cast("long")
+            .alias(name)
+        )
+
+    return cum.groupBy("source").agg(
+        F.max("_n").cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        _pick(0.5, "p50_chars"),
+        _pick(0.9, "p90_chars"),
+        _pick(0.99, "p99_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
