@@ -1028,6 +1028,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_source_percentiles"] = q_source_percentiles
 
+    # -- fixed-window (tumbling) event-time aggregation ---------------------
+    def q_event_windows(spark, sf_dir):
+        """Batch twin of translink.streaming.windows.windowed_stream with the
+        repo's deterministic-double-sum fold (sorted values, round 9) so the
+        order-dependent sum cannot drift from the DuckDB oracle; the library
+        API keeps the natural F.sum."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+            F.col("ts").isNotNull()
+        )
+        return (
+            ev.groupBy(F.window(F.col("ts"), "10 minutes").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.array_sort(
+                    F.collect_list(F.coalesce("value", F.lit(0.0)))
+                ).alias("_v"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                F.round(
+                    F.expr("aggregate(_v, cast(0.0 as double), (acc, v) -> acc + v)"),
+                    9,
+                ).alias("total_value"),
+            )
+        )
+    q["event_window_stats"] = q_event_windows
+
     # -- as-of (temporal) join over the event stream ------------------------
     def q_event_asof(spark, sf_dir):
         """Union + one partitioned sort — the scalable ASOF encoding (no
@@ -1890,6 +1920,10 @@ FROM t LEFT JOIN per_doc USING (doc_id)
 
     from translink.streaming.sessions import session_oracle_sql
     o["event_sessions"] = session_oracle_sql(30)
+
+    from translink.streaming.windows import window_oracle_sql
+
+    o["event_window_stats"] = window_oracle_sql(10)
 
     o["event_props_stats"] = """
 WITH e AS (

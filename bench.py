@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "doc_line_dedup",
     "doc_bpe_token_stats",
     "doc_source_stats",
+    "doc_top_ngrams",
+    "doc_source_percentiles",
+    "event_asof_join",
+    "event_window_stats",
 ]
 
 

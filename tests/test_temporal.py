@@ -100,3 +100,59 @@ def test_event_asof_view_before_purchase(spark):
         5: (4, 0),
         6: (None, None),
     }
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against an independent reference
+    implementation (pandas.merge_asof, backward direction) over seeded
+    random event sets, both <= and strict < semantics. Right sides are
+    pre-deduplicated per (key, ts) — the operator's documented contract."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260818)
+    for trial in range(5):
+        strict = trial % 2 == 1
+        left_rows = [
+            (i, rng.randrange(6), _mins(rng.randrange(0, 500)))
+            for i in range(120)
+        ]
+        right_rows = [
+            (1000 + i, rng.randrange(6), _mins(rng.randrange(0, 500)))
+            for i in range(80)
+        ]
+        left = spark.createDataFrame(
+            left_rows, "event_id long, user_id long, ts timestamp"
+        )
+        right_all = pd.DataFrame(right_rows, columns=["rid", "user_id", "ts"])
+        # contract: one right row per (key, ts), max id wins
+        right_pd = (
+            right_all.groupby(["user_id", "ts"], as_index=False)["rid"].max()
+        )
+        right = spark.createDataFrame(right_pd)
+
+        got = {
+            r["event_id"]: r["asof_rid"]
+            for r in asof_join(
+                left, right, keys=["user_id"], ts_col="ts",
+                payload_cols=["rid"], strict=strict,
+            ).collect()
+        }
+
+        left_pd = pd.DataFrame(
+            left_rows, columns=["event_id", "user_id", "ts"]
+        ).sort_values("ts", kind="mergesort")
+        merged = pd.merge_asof(
+            left_pd,
+            right_pd.sort_values("ts", kind="mergesort"),
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=not strict,
+        )
+        want = {
+            int(r.event_id): (None if pd.isna(r.rid) else int(r.rid))
+            for r in merged.itertuples()
+        }
+        assert got == want, f"trial {trial} (strict={strict})"
