@@ -1058,6 +1058,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["event_window_stats"] = q_event_windows
 
+    # -- trailing range-frame rolling aggregates ----------------------------
+    def q_event_rolling(spark, sf_dir):
+        """RANGE frame on a microsecond-granular key; rolling sum folded in
+        sorted order (deterministic-double-sum discipline)."""
+        from translink.temporal import rolling_event_stats
+        return rolling_event_stats(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), hours=24
+        )
+    q["event_rolling_stats"] = q_event_rolling
+
     # -- as-of (temporal) join over the event stream ------------------------
     def q_event_asof(spark, sf_dir):
         """Union + one partitioned sort — the scalable ASOF encoding (no
@@ -2093,6 +2103,19 @@ SELECT source,
        CAST(min(CASE WHEN cum >= ceil(n * 0.99) THEN n_chars END) AS BIGINT) AS p99_chars,
        CAST(max(n_chars) AS BIGINT) AS max_chars
 FROM t GROUP BY source
+"""
+
+    o["event_rolling_stats"] = """
+WITH e AS (
+  SELECT event_id, user_id, ts, coalesce(value, 0.0) AS value
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_24h,
+       round(list_sum(list_sort(list(value) OVER w)), 9) AS sum_24h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
 """
 
     o["event_asof_join"] = """

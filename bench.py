@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "doc_source_percentiles",
     "event_asof_join",
     "event_window_stats",
+    "event_rolling_stats",
 ]
 
 

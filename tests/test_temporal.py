@@ -156,3 +156,40 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             for r in merged.itertuples()
         }
         assert got == want, f"trial {trial} (strict={strict})"
+
+
+def test_rolling_event_stats_boundaries(spark):
+    from translink.temporal import rolling_event_stats
+
+    h = dt.timedelta(hours=1)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # user 1: probe the inclusive trailing bound at exactly 1h
+        (1, 1, T0, 1.0),
+        (2, 1, T0 + h, 2.0),            # exactly 1h later: includes event 1
+        (3, 1, T0 + h + us, 4.0),       # 1h + 1us after T0: event 1 ages out
+        # user 2: same-timestamp peers count each other (RANGE semantics)
+        (4, 2, T0, 8.0),
+        (5, 2, T0, 16.0),
+        # sub-second distinction: 1h + 0.5s after event 6 -> excluded
+        (6, 3, T0, 1.0),
+        (7, 3, T0 + h + dt.timedelta(milliseconds=500), 2.0),
+    ]
+    events = spark.createDataFrame(
+        [(e, u, ts, "click", v, "{}") for e, u, ts, v in rows],
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["event_id"]: (r["n_1h"], r["sum_1h"])
+        for r in rolling_event_stats(events, hours=1).collect()
+    }
+    assert got == {
+        1: (1, 1.0),
+        2: (2, 3.0),    # inclusive: the exactly-1h-old event still counts
+        3: (2, 6.0),    # event 1 aged out, events 2+3 remain
+        4: (2, 24.0),   # RANGE peers: both same-ts rows see each other
+        5: (2, 24.0),
+        6: (1, 1.0),
+        7: (1, 2.0),    # 1h + 500ms: microsecond key keeps it out
+    }

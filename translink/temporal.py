@@ -114,3 +114,53 @@ def event_asof_view_before_purchase(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("gap_us"),
     )
+
+
+def rolling_event_stats(events: DataFrame, hours: int = 24) -> DataFrame:
+    """Per event: count and value-sum of the same user's events in the
+    trailing ``hours`` window, INCLUSIVE at both ends (``[ts - h, ts]`` —
+    an event exactly ``hours`` old still counts; RANGE frames in every SQL
+    engine share this bound, which the tests pin).
+
+    The rolling sum is folded in sorted order and rounded (the repo's
+    deterministic-double-sum discipline) so it cannot drift from a SQL
+    oracle that sums the same frame in a different order.
+
+    Scale shape: one exchange on ``user_id``, one per-user event-time
+    sort; each frame's cost is that user's activity inside the horizon,
+    not the corpus. A pathologically hot key concentrates its own
+    traffic — the same bound as every per-key window in the engine — and
+    the horizon caps the frame, so state never grows with history.
+    """
+    # Microsecond-granular range key: truncating to seconds would make
+    # sub-second neighbors spurious RANGE peers (and disagree with any
+    # interval-precision SQL oracle).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        )
+        .rangeBetween(-int(hours) * 3600 * 1_000_000, 0)
+    )
+    n_col, sum_col = f"n_{int(hours)}h", f"sum_{int(hours)}h"
+    base = events.filter(F.col("ts").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("long").alias(n_col),
+        F.array_sort(
+            F.collect_list(F.coalesce("value", F.lit(0.0))).over(w)
+        ).alias("_rv"),
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        n_col,
+        F.round(
+            F.expr("aggregate(_rv, cast(0.0 as double), (acc, v) -> acc + v)"),
+            9,
+        ).alias(sum_col),
+    )
