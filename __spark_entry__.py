@@ -1058,6 +1058,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["event_window_stats"] = q_event_windows
 
+    # -- event-time interval join (stream-stream capable) --------------------
+    def q_event_interval_join(spark, sf_dir):
+        """Batch twin of translink.streaming.joins.interval_join_events:
+        purchases x same-user views within the trailing hour. Equi-key
+        sort-merge with a range residual — broadcast-free, no pair blowup
+        beyond the contracted matches."""
+        from translink.streaming.joins import interval_join_events
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+            F.col("ts").isNotNull()
+        )
+        return interval_join_events(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type") == "view"),
+            horizon_minutes=60,
+        )
+    q["event_interval_join"] = q_event_interval_join
+
+    # -- multi-dimensional aggregation (pivot matrix + rollup hierarchy) ----
+    def q_lang_source_matrix(spark, sf_dir):
+        """Pinned pivot values: one hash aggregation, schema-stable (no
+        driver-side distinct pass to discover columns)."""
+        from translink.rollup import doc_lang_source_matrix
+        return doc_lang_source_matrix(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+    q["doc_lang_source_matrix"] = q_lang_source_matrix
+
+    def q_source_lang_rollup(spark, sf_dir):
+        from translink.rollup import doc_source_lang_rollup
+        return doc_source_lang_rollup(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+    q["doc_source_lang_rollup"] = q_source_lang_rollup
+
     # -- trailing range-frame rolling aggregates ----------------------------
     def q_event_rolling(spark, sf_dir):
         """RANGE frame on a microsecond-granular key; rolling sum folded in
@@ -2103,6 +2137,37 @@ SELECT source,
        CAST(min(CASE WHEN cum >= ceil(n * 0.99) THEN n_chars END) AS BIGINT) AS p99_chars,
        CAST(max(n_chars) AS BIGINT) AS max_chars
 FROM t GROUP BY source
+"""
+
+    o["event_interval_join"] = """
+WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'),
+v AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'view')
+SELECT p.user_id, p.event_id AS left_id, p.ts AS left_ts,
+       v.event_id AS right_id, v.ts AS right_ts,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM p JOIN v ON p.user_id = v.user_id
+   AND v.ts <= p.ts
+   AND v.ts >= p.ts - INTERVAL 60 MINUTE
+"""
+
+    _lanes = ", ".join(
+        f"CAST(count(*) FILTER (WHERE lang = '{la}') AS BIGINT) AS {la}"
+        for la in ("de", "en", "es", "fr", "zh")
+    )
+    o["doc_lang_source_matrix"] = f"""
+SELECT source, {_lanes},
+       CAST(count(*) FILTER (WHERE lang IS NULL
+            OR lang NOT IN ('de','en','es','fr','zh')) AS BIGINT) AS other
+FROM documents GROUP BY source
+"""
+
+    o["doc_source_lang_rollup"] = """
+SELECT source, lang,
+       CAST(GROUPING(source, lang) AS BIGINT) AS level,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP(source, lang)
 """
 
     o["event_rolling_stats"] = """

@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "event_asof_join",
     "event_window_stats",
     "event_rolling_stats",
+    "event_interval_join",
+    "doc_lang_source_matrix",
+    "doc_source_lang_rollup",
 ]
 
 
