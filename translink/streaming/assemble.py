@@ -1,0 +1,155 @@
+"""Custom stateful streaming operator: conversation assembly with
+``applyInPandasWithState``.
+
+The one ingest primitive the built-in streaming operators cannot express:
+turns of a conversation arrive scattered across micro-batches, and the
+pipeline wants ONE row per conversation — every turn, in order — emitted
+the moment the conversation's end marker arrives. ``dropDuplicates*``
+cannot accumulate payload, ``session_window`` cannot order it or emit on
+a data-driven condition, and stream-stream joins pair rows rather than
+fold them. This is exactly the case the engine's operator ladder
+(SURVEY §7: built-in composition first, then Arrow-batched state) reserves
+for ``applyInPandasWithState``: per-key state holding the turns seen so
+far, Arrow-batched in and out, no per-row Python crossings.
+
+Semantics (pinned by tests):
+- state accumulates (turn_idx, role, text) per ``conv_id``;
+- a turn with role == ``end_role`` closes the conversation: one output
+  row with all PAYLOAD turns sorted by turn_idx (the marker itself is
+  excluded), joined with the turn separator, and the state is dropped;
+- duplicate deliveries of the same turn_idx keep the LAST-seen text
+  (re-delivery discipline matching the signature store);
+- conversations never closed emit nothing (an optional processing-time
+  timeout would flush them; the default is NoTimeout so availableNow
+  drains are deterministic).
+
+Scale shape: one shuffle on conv_id (the state key); state per key is the
+conversation's own turns, evicted at close — the horizon the reference's
+streaming walker keeps per file (``src/pipeline/streaming_hash.rs``),
+generalized to out-of-order delivery.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType, LongType, StringType, StructField, StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", LongType()),
+        StructField("transcript", StringType()),
+        StructField("complete", BooleanType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("idxs", StringType()),   # "|"-joined turn_idx ints
+        StructField("roles", StringType()),  # unit-separator-joined
+        StructField("texts", StringType()),
+    ]
+)
+
+#: Unit separator — cannot appear in fixture text; keeps the packed state
+#: columns splittable without escaping.
+_US = "\x1f"
+_SEP = "\n"
+
+
+def _assemble(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    turns = {}
+    if state.exists:
+        idxs_s, roles_s, texts_s = state.get
+        if idxs_s:  # a state row can hold zero turns (marker not yet seen)
+            turns = {
+                int(i): (r, t)
+                for i, r, t in zip(
+                    idxs_s.split("|"), roles_s.split(_US), texts_s.split(_US)
+                )
+            }
+
+    done = False
+    for pdf in pdfs:
+        for row in pdf.itertuples():
+            if row.role == "__end__":
+                done = True
+            else:
+                turns[int(row.turn_idx)] = (row.role, str(row.text))
+
+    if done:
+        state.remove()
+        ordered = sorted(turns.items())
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [len(ordered)],
+                "transcript": [
+                    _SEP.join(f"{r}: {t}" for _, (r, t) in ordered)
+                ],
+                "complete": [True],
+            }
+        )
+    else:
+        items = sorted(turns.items())
+        state.update(
+            (
+                "|".join(str(i) for i, _ in items),
+                _US.join(r for _, (r, _t) in items),
+                _US.join(t for _, (_r, t) in items),
+            )
+        )
+
+
+def assemble_conversations_stream(turns_stream: DataFrame) -> DataFrame:
+    """Streaming conversation assembler: emits one row per conversation
+    when its ``__end__``-role marker turn arrives. Input needs columns
+    (conv_id, turn_idx, role, text)."""
+    return (
+        turns_stream.select("conv_id", "turn_idx", "role", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _assemble,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def assemble_conversations_batch(turns: DataFrame) -> DataFrame:
+    """Batch twin: the same assembly as one aggregation (used by the
+    equivalence test). Only conversations WITH an end marker are emitted,
+    matching the stream's contract."""
+    from pyspark.sql import functions as F
+
+    payload = turns.filter(F.col("role") != "__end__")
+    ended = turns.filter(F.col("role") == "__end__").select("conv_id").distinct()
+    return (
+        payload.join(ended, "conv_id", "left_semi")
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("turn_idx", "role", "text")
+                        )
+                    ),
+                    lambda s: F.concat_ws(": ", s["role"], s["text"]),
+                ),
+                _SEP,
+            ).alias("transcript"),
+            F.lit(True).alias("complete"),
+        )
+    )
