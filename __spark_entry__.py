@@ -1058,6 +1058,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["event_window_stats"] = q_event_windows
 
+    # -- composite curation verdict (all gates, one row per document) -------
+    def q_curation_verdict(spark, sf_dir):
+        """Dedup-keep x quality x language gates joined on the 8-byte id;
+        expression dedup lane so the DuckDB oracle can replay it."""
+        from translink.textops import doc_curation_verdict
+        return doc_curation_verdict(_docs(spark, sf_dir))
+    q["doc_curation_verdict"] = q_curation_verdict
+
     # -- event-time interval join (stream-stream capable) --------------------
     def q_event_interval_join(spark, sf_dir):
         """Batch twin of translink.streaming.joins.interval_join_events:
@@ -2077,6 +2085,44 @@ SELECT source, n_docs, n_unique_texts,
        min_chars, max_chars
 FROM g
 """
+
+    # Composite curation verdict: reuse the three lane oracles verbatim —
+    # the dedup oracle's final SELECT becomes a `dedup` CTE, and the
+    # quality/langid oracles (retargeted at the planted corpus) nest as
+    # subquery CTE bodies, so the lanes CANNOT drift from their own
+    # oracle-checked definitions.
+    _dedup_head, _dedup_final = o["doc_dedup_keep"].rsplit(
+        "SELECT a AS doc_id", 1
+    )
+    o["doc_curation_verdict"] = (
+        _dedup_head.rstrip()  # ends with the closing paren of the last CTE
+        + """,
+dedup AS (
+  SELECT a AS doc_id"""
+        + _dedup_final.rstrip()
+        + """
+),
+qlane AS (
+"""
+        + o["doc_quality"].replace("FROM documents", "FROM docs_planted")
+        + """
+),
+llane AS (
+"""
+        + o["doc_langid"].replace("FROM documents", "FROM docs_planted")
+        + """
+)
+SELECT d.doc_id, d.cluster_id,
+       d.keep AS keep_dedup,
+       qlane.quality_score >= 0.965 AS quality_ok,
+       llane.lang_guess <> 'und' AS lang_ok,
+       (d.keep AND qlane.quality_score >= 0.965
+         AND llane.lang_guess <> 'und') AS keep
+FROM dedup d
+JOIN qlane ON qlane.doc_id = d.doc_id
+JOIN llane ON llane.doc_id = d.doc_id
+"""
+    )
 
     o["doc_sample_frac"] = """
 SELECT doc_id, lang, source, n_chars,

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "event_interval_join",
     "doc_lang_source_matrix",
     "doc_source_lang_rollup",
+    "doc_curation_verdict",
 ]
 
 

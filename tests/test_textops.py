@@ -464,3 +464,34 @@ def test_source_percentiles_match_numpy_definition(spark):
         assert got[src]["p50_chars"] == exp[0.5]
         assert got[src]["p90_chars"] == exp[0.9]
         assert got[src]["p99_chars"] == exp[0.99]
+
+
+def test_curation_verdict_gates(spark):
+    from translink.textops import doc_curation_verdict
+
+    en = (
+        "the quick brown fox jumps over the lazy dog and then walks home "
+        "with many other common words that the profile recognizes easily"
+    )
+    rows = [
+        (1, en + " variant one"),
+        (2, en + " variant one"),            # exact dup of 1 -> dropped
+        (3, "!!!???!!!***###@@@%%%&&&"),      # pure punctuation -> quality fail
+        (4, "zzz qqq xxx vvv kkk www"),       # no profile markers -> lang fail
+        (5, en + " a genuinely different continuation of the text"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r.asDict() for r in doc_curation_verdict(docs).collect()}
+
+    assert got[1]["keep_dedup"] and not got[2]["keep_dedup"]
+    assert got[2]["cluster_id"] == got[1]["cluster_id"] == 1
+    assert not got[3]["quality_ok"] and got[1]["quality_ok"]
+    assert not got[4]["lang_ok"] and got[1]["lang_ok"]
+    assert got[1]["keep"]
+    assert not got[2]["keep"] and not got[3]["keep"] and not got[4]["keep"]
+    # every gate must pass for keep
+    for r in got.values():
+        assert r["keep"] == (r["keep_dedup"] and r["quality_ok"] and r["lang_ok"])

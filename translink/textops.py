@@ -1257,3 +1257,49 @@ def doc_source_percentiles(docs: DataFrame) -> DataFrame:
         _pick(0.99, "p99_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+# -- composite curation verdict (the full keep/drop decision) ----------------
+
+def doc_curation_verdict(
+    docs: DataFrame,
+    quality_min: float = 0.965,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The curation pass a training-data pipeline actually ships: one row
+    per document with every gate's verdict and the final ``keep``.
+
+    Gates (each lane is itself an oracle-checked operator):
+    - ``keep_dedup``  — exact + near-dup transitive resolution keeps one
+      doc per duplicate component (``doc_dedup_keep``);
+    - ``quality_ok``  — blended quality score >= ``quality_min`` (default
+      pinned near the fixture's 10th percentile so the gate is non-trivial)
+      (``doc_quality``; both engines produce bit-identical doubles, so
+      the threshold comparison cannot straddle);
+    - ``lang_ok``     — the language heuristic recognized the document
+      (``doc_langid`` guess != 'und').
+
+    Plan shape: three doc_id-keyed lanes joined by sort-merge — the two
+    cheap lanes are pure map passes over the scan, so the joins add two
+    exchanges keyed on the 8-byte id, never on text. At corpus scale the
+    dedup lane dominates (it is the pipeline); the verdict join is noise.
+    """
+    gate_q = F.col("quality_score") >= quality_min
+    gate_l = F.col("lang_guess") != "und"
+    dedup = doc_dedup_keep(docs, threshold=threshold).select(
+        _ID, "cluster_id", F.col("keep").alias("keep_dedup")
+    )
+    qual = doc_quality(docs).select(_ID, "quality_score")
+    lang = doc_langid(docs).select(_ID, "lang_guess")
+    return (
+        dedup.join(qual, _ID)
+        .join(lang, _ID)
+        .select(
+            _ID,
+            "cluster_id",
+            "keep_dedup",
+            gate_q.alias("quality_ok"),
+            gate_l.alias("lang_ok"),
+            (F.col("keep_dedup") & gate_q & gate_l).alias("keep"),
+        )
+    )
