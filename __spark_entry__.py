@@ -1878,7 +1878,8 @@ scored AS (
   SELECT doc_id_a, doc_id_b,
          CASE WHEN l2a = 0 AND l2b = 0 THEN CAST(1 AS DOUBLE)
               WHEN l2a = 0 OR l2b = 0 THEN CAST(0 AS DOUBLE)
-              ELSE CAST(dot AS DOUBLE) / sqrt(CAST(l2a * l2b AS DOUBLE))
+              ELSE CAST(dot AS DOUBLE)
+                   / sqrt(CAST(l2a AS DOUBLE) * CAST(l2b AS DOUBLE))
          END AS hist_cosine,
          (CAST(8 AS DOUBLE) - abs(ent_a - ent_b))
            / CAST(8 AS DOUBLE) * CAST(100 AS DOUBLE) AS entropy_sim

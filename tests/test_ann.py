@@ -164,3 +164,18 @@ def test_ivf_survives_null_and_ragged_vectors(spark, emb):
                             dim=dim, n_centroids=16, n_probe=8)
     assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows} == \
            {(r["query_id"], r["neighbor_id"], r["rank"]) for r in clean.collect()}
+
+
+def test_ivf_training_rejects_unusable_sample():
+    """An all-zero / empty training sample must fail with a diagnosis, not
+    numpy's rng.integers(0) ValueError from inside kmeans++."""
+    import numpy as np
+    import pytest as _pytest
+
+    from translink.ann import _train_centroids
+
+    rng = np.random.default_rng(7)
+    with _pytest.raises(ValueError, match="no usable vectors"):
+        _train_centroids(np.zeros((4, 8)), n_centroids=2, iters=2, rng=rng)
+    with _pytest.raises(ValueError, match="no usable vectors"):
+        _train_centroids(np.zeros((0, 8)), n_centroids=2, iters=2, rng=rng)

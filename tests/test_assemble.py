@@ -73,6 +73,12 @@ def test_stream_matches_batch_twin(spark, tmp_path):
         ("c2", 0, "user", "q2"), ("c2", 1, "assistant", "a2"),
         ("c2", 2, "user", "q3"), ("c2", 99, "__end__", ""),
         ("c3", 0, "user", "open"),   # no marker: emitted by neither
+        # re-delivered turn: both twins must pick the same order-free winner
+        ("c4", 0, "user", "first delivery"),
+        ("c4", 0, "user", "second delivery"),
+        ("c4", 1, "assistant", None),  # null text normalizes to ''
+        ("c4", 99, "__end__", ""),
+        ("c5", 99, "__end__", ""),     # marker-only conversation
     ]
     turns = spark.createDataFrame(rows, SCHEMA)
     src = str(tmp_path / "asm_eq")
@@ -83,4 +89,6 @@ def test_stream_matches_batch_twin(spark, tmp_path):
         r["conv_id"]: (r["n_turns"], r["transcript"], r["complete"])
         for r in assemble_conversations_batch(turns).collect()
     }
-    assert got == want and set(want) == {"c1", "c2"}
+    assert got == want and set(want) == {"c1", "c2", "c4", "c5"}
+    assert want["c4"] == (2, "user: second delivery\nassistant: ", True)
+    assert want["c5"] == (0, "", True)

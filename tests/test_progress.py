@@ -59,3 +59,12 @@ def test_pipeline_stage_lines_via_custom_sink(spark, tiny, monkeypatch):
     stages = [ln for ln in lines if ln.startswith("[pipeline] stage")]
     assert len(stages) == 6, lines
     assert any("canonical" in ln for ln in stages)
+
+
+def test_interval_zero_is_clamped(spark):
+    """`--progress 0` must not busy-spin: the reporter clamps the polling
+    interval to a floor instead of Event.wait(0.0)-spinning a core."""
+    from translink.progress import ProgressReporter, make_reporter
+
+    r = make_reporter(spark, progress=0)
+    assert r is not None and r.interval >= ProgressReporter.MIN_INTERVAL

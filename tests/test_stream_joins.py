@@ -98,3 +98,38 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         for r in interval_join_events(purchases, views, 60).collect()
     }
     assert got == want and len(want) == 3
+
+
+def test_stream_join_state_eviction_is_derived(spark, tmp_path):
+    """The streaming physical plan must carry a RIGHT-side state-cleanup
+    predicate — i.e. Spark derived a state watermark from the interval
+    bound. A timestampdiff()-style bound regresses to 'right = null'
+    (unbounded right buffer); this pins the interval-arithmetic form."""
+    events = _events(spark)
+    src = str(tmp_path / "evict_src")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def side(event_type):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.readStream.schema(events.schema).parquet(src)
+            .filter(F.col("event_type") == event_type)
+        )
+
+    out = interval_join_events(
+        side("purchase"), side("view"), 60,
+        left_watermark="1 minute", right_watermark="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("test_evict_mem")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    plan = q._jsq.explainInternal(True)
+    import re
+
+    cleanup = re.search(r"state cleanup \[(.*?)\]", plan, re.S)
+    assert cleanup, plan
+    assert "right = null" not in cleanup.group(1), cleanup.group(1)
+    assert "right value predicate" in cleanup.group(1), cleanup.group(1)

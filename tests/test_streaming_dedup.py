@@ -60,3 +60,26 @@ def test_digest_null_vs_empty(spark):
     ds = {r["id"]: r["d"] for r in df.collect()}
     assert ds[1] != ds[2]          # null and empty must not collide
     assert len({*ds.values()}) == 3
+
+
+def test_digest_is_injection_proof(spark):
+    """Separator-bearing values and literal null-tag strings must NOT
+    collide: ('a\\x1fb','c') vs ('a','b\\x1fc') forged equal digests under
+    bare-separator framing; length prefixes make framing uniquely
+    decodable for any byte content."""
+    from translink.streaming.dedup import digest_expr
+
+    rows = [
+        ("a\x1fb", "c"),
+        ("a", "b\x1fc"),
+        ("a|3:b", "c"),      # attacks the new separator + prefix directly
+        ("a", "3:b|c"),
+        ("\x00null", "x"),   # literal old null tag vs a real null
+        (None, "x"),
+        ("n", "x"),          # literal new null tag vs a real null
+    ]
+    df = spark.createDataFrame(rows, "k1 string, k2 string")
+    digests = [
+        r["d"] for r in df.select(digest_expr(["k1", "k2"]).alias("d")).collect()
+    ]
+    assert len(set(digests)) == len(rows)

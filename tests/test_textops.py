@@ -495,3 +495,26 @@ def test_curation_verdict_gates(spark):
     # every gate must pass for keep
     for r in got.values():
         assert r["keep"] == (r["keep_dedup"] and r["quality_ok"] and r["lang_ok"])
+
+
+def test_url_stats_known_values(spark):
+    """Pins the regression where the URL-char fold re-embedded the pattern
+    in a SQL string and the literal parser turned [^\\s]+ into [^s]+ (URL
+    runs then swallowed following words up to the next 's')."""
+    from translink.textops import doc_url_stats
+
+    rows = [
+        (1, "see https://a.example/x then more words after"),
+        (2, "no links at all in this one"),
+        (3, "http://h1.com/a and http://h1.com/b and https://h2.org/c"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in doc_url_stats(docs).collect()}
+
+    t1 = rows[0][1]
+    assert got[1]["n_urls"] == 1 and got[1]["n_unique_hosts"] == 1
+    assert abs(got[1]["url_char_frac"] - len("https://a.example/x") / len(t1)) < 1e-12
+    assert got[2]["n_urls"] == 0 and got[2]["url_char_frac"] == 0.0
+    assert got[3]["n_urls"] == 3 and got[3]["n_unique_hosts"] == 2
+    assert got[4]["n_urls"] == 0 and got[4]["url_char_frac"] == 0.0

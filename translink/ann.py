@@ -284,6 +284,13 @@ def _train_centroids(
     norms = np.linalg.norm(X, axis=1)
     Xn = X[norms > 0] / norms[norms > 0, None]
     n = Xn.shape[0]
+    if n == 0:
+        # empty table / every sampled vector null, mis-sized, or zero-norm:
+        # fail with a diagnosis instead of rng.integers(0)'s ValueError
+        raise ValueError(
+            "IVF training sample contains no usable vectors "
+            "(all rows empty, wrong-dimension, or zero-norm)"
+        )
     k = min(n_centroids, n)
     # kmeans++: first pick uniform, then proportional to cosine distance
     # to the nearest already-picked centroid

@@ -236,17 +236,21 @@ def _dot_kernel(
 
 def _cosine_col(dot, l2a, l2b):
     """cosine with the empty-histogram convention: both empty -> 1.0 (byte-
-    identical empties ARE identical), one empty -> 0.0. The product
-    ``l2a*l2b`` stays exact in a double (bounded by doc_len^4 <= ~6e14 for
-    capped docs < 2^53). NO round(): exact-int inputs + one shared IEEE op
-    order are bit-identical cross-engine, while Spark's BigDecimal HALF_UP
-    round and DuckDB's multiply-and-round disagree in the last digit on
-    ~1% of values (measured) — rounding would BREAK determinism here."""
+    identical empties ARE identical), one empty -> 0.0. Each norm is cast
+    to double BEFORE the multiply: an int64 product l2a*l2b overflows for
+    large repetitive documents (l2 ~ n^2, so the product crosses 2^63 once
+    n_a*n_b concentration passes ~9.2e18 — two ~60 KB boilerplate docs),
+    while double*double of per-doc-exact norms stays finite and follows
+    ONE shared IEEE op order cross-engine. NO round(): Spark's BigDecimal
+    HALF_UP round and DuckDB's multiply-and-round disagree in the last
+    digit on ~1% of values (measured) — rounding would BREAK determinism
+    here."""
     return (
         F.when((l2a == 0) & (l2b == 0), F.lit(1.0))
         .when((l2a == 0) | (l2b == 0), F.lit(0.0))
         .otherwise(
-            dot.cast("double") / F.sqrt((l2a * l2b).cast("double"))
+            dot.cast("double")
+            / F.sqrt(l2a.cast("double") * l2b.cast("double"))
         )
     )
 

@@ -29,7 +29,13 @@ class ProgressReporter:
     payloads — the reference draws its bars on the terminal the same way).
     """
 
+    #: Floor on the polling cadence: interval 0 (e.g. `--progress 0`) would
+    #: make the poll loop's Event.wait(0.0) a tight spin, pegging a driver
+    #: core with statusTracker RPCs for the whole run.
+    MIN_INTERVAL = 0.5
+
     def __init__(self, spark, interval: float = 10.0, sink=None):
+        interval = max(float(interval), self.MIN_INTERVAL)
         self.spark = spark
         self.interval = float(interval)
         self.sink = sink or (lambda line: print(line, file=sys.stderr, flush=True))

@@ -17,8 +17,12 @@ Semantics (pinned by tests):
 - a turn with role == ``end_role`` closes the conversation: one output
   row with all PAYLOAD turns sorted by turn_idx (the marker itself is
   excluded), joined with the turn separator, and the state is dropped;
-- duplicate deliveries of the same turn_idx keep the LAST-seen text
-  (re-delivery discipline matching the signature store);
+- duplicate deliveries of the same turn_idx resolve ORDER-FREE: the
+  maximum (role, text) pair wins. Arrival-order rules ("last wins")
+  cannot be replicated by a batch twin (a batch has no arrival order),
+  so the resolution is defined to be commutative — the same winner
+  regardless of how deliveries split across micro-batches; null text is
+  normalized to '' before resolution;
 - conversations never closed emit nothing (an optional processing-time
   timeout would flush them; the default is NoTimeout so availableNow
   drains are deterministic).
@@ -83,7 +87,10 @@ def _assemble(
             if row.role == "__end__":
                 done = True
             else:
-                turns[int(row.turn_idx)] = (row.role, str(row.text))
+                idx = int(row.turn_idx)
+                cand = (row.role, "" if row.text is None else str(row.text))
+                prev = turns.get(idx)
+                turns[idx] = cand if prev is None else max(prev, cand)
 
     if done:
         state.remove()
@@ -127,29 +134,39 @@ def assemble_conversations_stream(turns_stream: DataFrame) -> DataFrame:
 
 
 def assemble_conversations_batch(turns: DataFrame) -> DataFrame:
-    """Batch twin: the same assembly as one aggregation (used by the
+    """Batch twin: the same assembly as aggregations (used by the
     equivalence test). Only conversations WITH an end marker are emitted,
-    matching the stream's contract."""
+    and re-delivered turn_idx rows resolve to the same order-free winner
+    (max (role, text), null text normalized to '') as the stream."""
     from pyspark.sql import functions as F
 
-    payload = turns.filter(F.col("role") != "__end__")
+    payload = turns.filter(F.col("role") != "__end__").select(
+        "conv_id",
+        "turn_idx",
+        F.struct("role", F.coalesce("text", F.lit("")).alias("text")).alias("_rt"),
+    )
+    resolved = payload.groupBy("conv_id", "turn_idx").agg(
+        F.max("_rt").alias("_rt")
+    )
     ended = turns.filter(F.col("role") == "__end__").select("conv_id").distinct()
-    return (
-        payload.join(ended, "conv_id", "left_semi")
-        .groupBy("conv_id")
-        .agg(
-            F.count("*").cast("long").alias("n_turns"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("turn_idx", "role", "text")
-                        )
-                    ),
-                    lambda s: F.concat_ws(": ", s["role"], s["text"]),
+    agg = resolved.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("turn_idx", F.col("_rt.role"), F.col("_rt.text"))
+                    )
                 ),
-                _SEP,
-            ).alias("transcript"),
-            F.lit(True).alias("complete"),
-        )
+                lambda s: F.concat_ws("", s["role"], F.lit(": "), s["text"]),
+            ),
+            _SEP,
+        ).alias("transcript"),
+    )
+    # a marker-only conversation (no payload) still closes: (0, "", True)
+    return ended.join(agg, "conv_id", "left").select(
+        "conv_id",
+        F.coalesce("n_turns", F.lit(0)).cast("long").alias("n_turns"),
+        F.coalesce("transcript", F.lit("")).alias("transcript"),
+        F.lit(True).alias("complete"),
     )

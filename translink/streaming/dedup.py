@@ -20,15 +20,26 @@ from pyspark.sql import DataFrame, functions as F
 
 def digest_expr(cols: list[str]):
     """Portable record digest over the listed columns: md5 of a
-    null-tagged concat (null and empty string must not collide — the same
-    both-digest discipline caveat as translink/signatures.py, single
-    family here because the op is a bounded-horizon dedup, not a merge)."""
+    LENGTH-PREFIXED, null-tagged concat. Length prefixes make the field
+    framing injection-proof — a bare separator is forgeable by data that
+    contains the separator character (('a\\x1fb','c') vs ('a','b\\x1fc')
+    would collide), whereas '<len>:<value>' framing is uniquely decodable
+    for any byte content. Null encodes as 'n' (no length prefix, so it
+    cannot collide with any real value, including the literal string a
+    null tag would otherwise share). Single hash family here because the
+    op is a bounded-horizon dedup, not a merge — same caveat as
+    translink/signatures.py."""
     tagged = [
-        F.when(F.col(c).isNull(), F.lit("\x00null"))
-        .otherwise(F.col(c).cast("string"))
+        F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+            F.concat(
+                F.length(F.col(c).cast("string")).cast("string"),
+                F.lit(":"),
+                F.col(c).cast("string"),
+            )
+        )
         for c in cols
     ]
-    return F.md5(F.concat_ws("\x1f", *tagged))
+    return F.md5(F.concat_ws("|", *tagged))
 
 
 def streaming_exact_dedup(

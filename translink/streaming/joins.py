@@ -56,13 +56,18 @@ def interval_join_events(
     if right_watermark is not None:
         rhs = rhs.withWatermark("right_ts", right_watermark)
 
-    horizon_us = int(horizon_minutes) * 60 * 1_000_000
+    # The lower bound MUST be written as interval arithmetic on the two
+    # timestamp columns: Spark's StreamingJoinHelper derives the state
+    # watermark (right-side eviction) only from range predicates it can
+    # solve for each side — a timestampdiff() form joins correctly but
+    # leaves the right buffer growing forever (verified on the executed
+    # plan: "state cleanup [... right = null ]").
     cond = (
         (lhs["_k"] == rhs["_rk"])
         & (rhs["right_ts"] <= lhs["left_ts"])
         & (
-            F.expr("timestampdiff(MICROSECOND, right_ts, left_ts)")
-            <= F.lit(horizon_us)
+            rhs["right_ts"]
+            >= lhs["left_ts"] - F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")
         )
     )
     return lhs.join(rhs, cond, "inner").select(

@@ -422,13 +422,15 @@ def doc_simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     cfg: LinkConfig | None = None,
+    chunk_cap: int = 4096,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
 
     Banding: the 64-bit hash splits into 4 x 16-bit chunks; by pigeonhole any
     pair within Hamming distance 3 shares at least one exact chunk, so the
     join runs on chunk buckets and the full Hamming distance verifies.
-    Exact for max_hamming <= 3; approximate (banding recall) above.
+    EXACT for max_hamming <= 3 only while no (chunk_id, chunk) bucket
+    exceeds ``chunk_cap``; approximate (banding recall) above Hamming 3.
 
     Skew guard (P8, same discipline as every other blocking join in the
     engine): (1) rows with the empty-text sentinel ``simhash == 0`` are
@@ -436,11 +438,26 @@ def doc_simhash_pairs(
     belong to ``doc_exact_dup_clusters``, and leaving them here plants one
     n^2 hot bucket that collides on ALL FOUR chunks (the reference bounds
     every grouping stage the same way, src/pipeline/streaming_hash.rs:132-202);
-    (2) the chunk keys are salted with ``with_salt`` so no single (chunk_id,
-    chunk) bucket joins more than ``cfg.max_block_size`` rows per sub-block.
-    Pairs across salt sub-blocks of an oversized bucket are sacrificed —
-    observable via translink.blocking.oversized_blocks."""
+    (2) the chunk keys are salted so no single bucket joins more than
+    ``chunk_cap`` rows per sub-block. Pairs across salt sub-blocks of an
+    oversized bucket are sacrificed — observable via
+    translink.blocking.oversized_blocks.
+
+    Sizing ``chunk_cap``: chunk values are 16-bit, so a RANDOM corpus fills
+    buckets at ~n/65536 rows each — with the default 4096 the join stays
+    exact to ~270M documents per partition-disjoint corpus slice while the
+    worst-case hot bucket is bounded at ~chunk_cap^2/2 pairs. The tight
+    pipeline-wide ``cfg.max_block_size`` (default 64, right for text-keyed
+    blocks whose buckets are duplicate-driven) would split EVERY bucket at
+    a few million docs and sacrifice most true pairs — hence the separate
+    knob. Raise it (or pre-partition the corpus) when a deployment's scale
+    pushes average buckets past the cap."""
     cfg = cfg or LinkConfig()
+    if cfg.max_block_size > chunk_cap:
+        chunk_cap = cfg.max_block_size
+    from dataclasses import replace as _dc_replace
+
+    salt_cfg = _dc_replace(cfg, max_block_size=int(chunk_cap))
     sh = doc_simhash(docs).filter(F.col("simhash") != 0)
     chunks = sh.select(
         _ID, "simhash",
@@ -450,7 +467,7 @@ def doc_simhash_pairs(
             )
         ).alias("chunk_id", "chunk"),
     )
-    salted = with_salt(chunks, ["chunk_id", "chunk"], cfg, id_col=_ID).select(
+    salted = with_salt(chunks, ["chunk_id", "chunk"], salt_cfg, id_col=_ID).select(
         _ID, "simhash", "chunk_id", "chunk", "salt"
     )
     cand = (
@@ -914,9 +931,11 @@ def doc_url_stats(docs: DataFrame) -> DataFrame:
     host_pat = r"https?://([^/\s]+)"
     urls = F.regexp_extract_all(text, F.lit(url_pat), F.lit(0))
     hosts = F.regexp_extract_all(text, F.lit(host_pat), F.lit(1))
-    url_chars = F.expr(
-        f"aggregate(regexp_extract_all(coalesce(text, ''), '{url_pat}', 0), "
-        "cast(0 as bigint), (acc, u) -> acc + length(u))"
+    # Fold over the SAME Column as n_urls — re-embedding the pattern in an
+    # F.expr SQL string corrupts it (the SQL literal parser eats the
+    # backslash, turning [^\s]+ into [^s]+).
+    url_chars = F.aggregate(
+        urls, F.lit(0).cast("long"), lambda acc, u: acc + F.length(u)
     )
     return docs.select(
         _ID,
