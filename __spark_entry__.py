@@ -129,7 +129,9 @@ canonical AS (
   SELECT conv_id,
          CAST(count(*) AS BIGINT) AS n_turns,
          CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
-         string_agg(coalesce(role, '') || chr(30) || coalesce(text, ''),
+         string_agg(regexp_replace(coalesce(role, ''), '[\\x1e\\x1f]', '', 'g')
+                      || chr(30)
+                      || regexp_replace(coalesce(text, ''), '[\\x1e\\x1f]', '', 'g'),
                     chr(31) ORDER BY turn_idx) AS canon_text,
          min(ts) AS first_ts,
          max(ts) AS max_ts
@@ -138,8 +140,17 @@ canonical AS (
 """
 
 #: DuckDB expression for the engine's word-3-gram shingle set of a column.
+#: Tokenization is the engine's TOKENIZE_PATTERN verbatim (ASCII-separator
+#: class — single backslashes survive a standard SQL string literal, and
+#: RE2 parses the same \xNN escapes as Python re / Java regex), so the
+#: shingle family cannot drift between the engines.
 def _shingles_sql(col: str, n: int = 3) -> str:
-    toks = f"list_filter(string_split_regex(lower({col}), '[^a-zA-Z0-9]+'), t -> t <> '')"
+    from translink.signatures import TOKENIZE_PATTERN
+
+    toks = (
+        f"list_filter(string_split_regex(lower({col}), "
+        f"'{TOKENIZE_PATTERN}'), t -> t <> '')"
+    )
     return (
         f"list_filter(list_distinct(CASE WHEN len({toks}) <= {n} "
         f"THEN [array_to_string({toks}, ' ')] "
@@ -223,7 +234,7 @@ _SCORE_SQL = f"""
 scored AS (
   SELECT conv_id_a, conv_id_b,
          CASE WHEN len(list_distinct(list_concat(shingles_a, shingles_b))) = 0
-              THEN 1.0
+              THEN 0.0
               ELSE len(list_intersect(shingles_a, shingles_b))
                    / len(list_distinct(list_concat(shingles_a, shingles_b)))
          END AS token_jaccard,
@@ -1482,7 +1493,7 @@ doc_salted AS (
 )
 SELECT * FROM (
   SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 1.0
+         CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 0.0
               ELSE len(list_intersect(a.shingles, b.shingles))
                    / len(list_distinct(list_concat(a.shingles, b.shingles))) END AS jaccard
   FROM doc_salted a JOIN doc_salted b
@@ -1544,7 +1555,7 @@ doc_salted AS (
 near_edges AS (
   SELECT doc_id_a AS src, doc_id_b AS dst FROM (
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 1.0
+           CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 0.0
                 ELSE len(list_intersect(a.shingles, b.shingles))
                      / len(list_distinct(list_concat(a.shingles, b.shingles))) END AS jaccard
     FROM doc_salted a JOIN doc_salted b

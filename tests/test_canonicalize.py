@@ -28,17 +28,28 @@ def test_shuffled_input_same_canonical(spark, tiny):
 def test_per_turn_text_equality_roundtrip(spark, tiny):
     """input_hint invariant: exploding the canonical text reproduces every
     turn's text at its turn position (for texts under the cap)."""
+    from pyspark.sql import Window
+
     t = tiny["transcripts"]
     c = canonicalize(t, LinkConfig(turn_text_cap=100_000))
     back = explode_canonical(c)
+    # rank the source by turn order: canon positions are 0-based ranks,
+    # which equal turn_idx only for contiguous indices (gapped inputs —
+    # e.g. strip_boilerplate output — still round-trip by position)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
     src = t.select(
         "conv_id",
-        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "turn_idx",
         F.coalesce("role", F.lit("")).alias("role"),
         F.coalesce("text", F.lit("")).alias("text"),
+    ).select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("turn_pos"),
+        "role",
+        "text",
     )
     diff = (
-        src.join(back, ["conv_id", "turn_idx"], "full")
+        src.join(back, ["conv_id", "turn_pos"], "full")
         .filter(
             (src["text"] != back["text"]) | (src["role"] != back["role"])
             | src["text"].isNull() | back["text"].isNull()
@@ -142,3 +153,42 @@ def test_strip_boilerplate_removes_exactly_the_flagged_turns(spark):
     # everything else survives, including the same-text-other-role turn
     assert len(rows) == df.count() - 5
     assert any(r["conv_id"] == "c9" for r in rows)
+
+
+def test_separator_injection_cannot_forge_exact_dup(spark):
+    """A single turn whose TEXT embeds the RS/US separators must not
+    canonicalize byte-equal to a structurally different conversation
+    (false exact-dup merge); separators are stripped from payload."""
+    rows = [
+        # conv A: one turn whose text smuggles 'RS ok US assistant RS ok'
+        ("A", 0, "user", "hi\x1fassistant\x1eok", None, None),
+        # conv B: the two-turn conversation A tries to impersonate
+        ("B", 0, "user", "hi", None, None),
+        ("B", 1, "assistant", "ok", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    c = {r["conv_id"]: r["canon_text"] for r in canonicalize(t, LinkConfig()).collect()}
+    assert c["A"] != c["B"]
+    assert c["A"] == "user\x1ehiassistantok"   # separators stripped, not kept
+    assert c["B"] == "user\x1ehi\x1fassistant\x1eok"
+
+
+def test_strip_boilerplate_handles_null_role(spark):
+    """Null-role boilerplate must be stripped too: the anti-join is
+    null-safe on role (plain equality never matches NULL = NULL)."""
+    from translink.canonicalize import strip_boilerplate
+
+    rows = [(f"c{i}", 0, None, "canned preamble", None, None) for i in range(5)]
+    rows += [(f"c{i}", 1, "user", f"real content {i}", None, None) for i in range(5)]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = strip_boilerplate(t, min_convs=3)
+    assert out.count() == 5
+    assert out.filter(out["text"] == "canned preamble").count() == 0

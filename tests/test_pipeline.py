@@ -102,3 +102,35 @@ def test_lineage_manifest_contents(spark, tiny, tmp_path):
         assert isinstance(entry["partitions"], list)
         if entry["partitions"]:
             assert sum(p["rows"] for p in entry["partitions"]) == entry["rows"]
+
+
+def test_non_latin_conversations_do_not_falsely_merge(spark):
+    """Regression: ASCII-only tokenization reduced ALL non-Latin text to
+    zero tokens, whose empty shingle sets (and sentinel minhash) scored
+    token_jaccard 1.0 — unrelated Chinese conversations merged into one
+    cluster. Non-ASCII is token material now, and an empty shingle union
+    scores 0.0 (absence of evidence), so only byte-identical texts link
+    via the exact path."""
+    import datetime as dt
+
+    from translink import LinkConfig, run_pipeline
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("zh1", 0, "user", "今天天气很好我们去公园散步吧", None, t0),
+        ("zh1", 1, "assistant", "好的带上水和帽子注意防晒", None, t0),
+        ("zh2", 0, "user", "请帮我写一个二分查找的函数", None, t0),
+        ("zh2", 1, "assistant", "可以的请看下面的代码实现", None, t0),
+        # true exact dup of zh1 must still merge (exact path)
+        ("zh3", 0, "user", "今天天气很好我们去公园散步吧", None, t0),
+        ("zh3", 1, "assistant", "好的带上水和帽子注意防晒", None, t0),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    res = run_pipeline(spark, t, LinkConfig(min_turns=1))
+    got = {r["conv_id"]: r["cluster_id"] for r in res["clusters"].collect()}
+    assert got["zh1"] == got["zh3"]      # byte-identical: merged
+    assert got["zh1"] != got["zh2"]      # unrelated: NOT merged

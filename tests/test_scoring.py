@@ -63,10 +63,13 @@ def test_levenshtein_sim_expr(spark):
 
 
 def test_token_jaccard_empty_both_sides(spark):
+    """Empty-vs-empty shingle sets score 0.0 (absence of evidence, not
+    perfect similarity): byte-identical texts are the exact path's job,
+    and 1.0 here falsely merged unrelated token-free conversations."""
     df = spark.createDataFrame(
         [("", "")], "canon_text_a string, canon_text_b string"
     )
-    assert df.select(token_jaccard_expr().alias("v")).first()["v"] == 1.0
+    assert df.select(token_jaccard_expr().alias("v")).first()["v"] == 0.0
 
 
 def test_jw_udf_matches_local(spark):

@@ -55,10 +55,23 @@ def canonicalize(transcripts: DataFrame, cfg: LinkConfig | None = None) -> DataF
     cfg = cfg or LinkConfig()
     cap = int(cfg.turn_text_cap)
 
+    # The two separator code points are STRIPPED from payload before the
+    # concat: transcript text is arbitrary bytes (tool output routinely
+    # carries control characters), and un-escaped separators would let a
+    # single crafted turn canonicalize byte-equal to a different multi-turn
+    # conversation — a false exact-dup merge (the exact path never re-reads
+    # turn rows). Stripping is lossy only for texts that differ solely in
+    # RS/US characters; framing stays uniquely decodable for everything
+    # else. The DuckDB oracle applies the identical strip.
+    def _clean(col):
+        return F.regexp_replace(
+            F.coalesce(col, F.lit("")), "[\\x1e\\x1f]", ""
+        )
+
     turn_repr = F.concat(
-        F.coalesce(F.col("role"), F.lit("")),
+        _clean(F.col("role")),
         F.lit(ROLE_SEP),
-        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, cap),
+        F.substring(_clean(F.col("text")), 1, cap),
     )
 
     out = (
@@ -128,29 +141,43 @@ def strip_boilerplate(transcripts: DataFrame, min_convs: int = 3) -> DataFrame:
     indices are NOT renumbered: downstream canonicalization orders by the
     original ``turn_idx``, so gaps are harmless and the surviving turns
     keep their provenance."""
-    bp = turn_boilerplate(transcripts, min_convs).select("role", "turn_md5")
+    bp = turn_boilerplate(transcripts, min_convs).select(
+        F.col("role").alias("_bp_role"), F.col("turn_md5").alias("_bp_md5")
+    )
     keyed = transcripts.withColumn(
         "turn_md5", F.md5(F.coalesce("text", F.lit("")))
     )
+    # null-safe on role: turn_boilerplate GROUPS null roles (they form a
+    # boilerplate group like any other), so the anti-join must match them
+    # too — a plain equality never matches NULL and would silently keep
+    # every null-role boilerplate turn
     return (
-        keyed.join(bp, ["role", "turn_md5"], "left_anti")
-        .select(*transcripts.columns)  # join keys first -> restore order
+        keyed.join(
+            bp,
+            F.col("role").eqNullSafe(F.col("_bp_role"))
+            & (F.col("turn_md5") == F.col("_bp_md5")),
+            "left_anti",
+        )
+        .select(*transcripts.columns)
     )
 
 
 def explode_canonical(canonical: DataFrame) -> DataFrame:
-    """Inverse of canonicalize for invariant checking: split ``canon_text``
-    back into ``(conv_id, turn_idx, role, text)`` rows. Used by tests to
-    verify per-turn text equality survived the round trip."""
+    """Split ``canon_text`` back into ``(conv_id, turn_pos, role, text)``
+    rows for invariant checking. ``turn_pos`` is the 0-based POSITION in
+    the stable turn ordering — canon_text does not carry the original
+    ``turn_idx``, which can have gaps (``strip_boilerplate`` documents
+    that it never renumbers), so callers comparing against the source
+    must rank the source by turn order, not join on raw indices."""
     return (
         canonical
         .select(
             "conv_id",
-            F.posexplode(F.split("canon_text", TURN_SEP)).alias("turn_idx", "_turn"),
+            F.posexplode(F.split("canon_text", TURN_SEP)).alias("turn_pos", "_turn"),
         )
         .select(
             "conv_id",
-            "turn_idx",
+            "turn_pos",
             F.split("_turn", ROLE_SEP, 2).getItem(0).alias("role"),
             # text may itself be empty; element 1 always exists by construction
             F.split("_turn", ROLE_SEP, 2).getItem(1).alias("text"),

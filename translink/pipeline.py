@@ -194,23 +194,31 @@ def _run_stages(transcripts, cfg, _stage, timings, cat) -> dict:
                 agree_terms.append(F.when(lane == 0, 1).otherwise(0))
         est = sum(agree_terms[1:], agree_terms[0]) / k
         bound = jaccard_lower_bound(cfg)
-        # margin = ~3 sigma of the k-sample MinHash estimate at the bound;
-        # pairs it drops are (p > 0.997) below the exact bound anyway
+        # margin = 3 sigma of the k-sample MinHash estimate at its
+        # worst-case variance (sigma <= 0.5/sqrt(k), at j=0.5), SCALED
+        # with the configured signature length — a fixed margin is <1
+        # sigma at small valid k (e.g. k=8) and silently drops true
+        # pairs; pairs the scaled margin drops are (p > 0.997) below the
+        # exact bound anyway
+        margin = 1.5 / (k ** 0.5)
         survivors = (
             pairs
             .join(sk.select(F.col("conv_id").alias("conv_id_a"),
                             F.col("_sk").alias("_sk_a")), "conv_id_a")
             .join(sk.select(F.col("conv_id").alias("conv_id_b"),
                             F.col("_sk").alias("_sk_b")), "conv_id_b")
-            .filter(est >= max(0.0, bound - 0.15))
+            .filter(est >= max(0.0, bound - margin))
             .select("conv_id_a", "conv_id_b")
         )
         # shingle hashes are recomputed per survivor pair side (a vanishing
         # fraction of the corpus) instead of persisting/shuffling the
         # corpus-wide shingle column
-        from translink.signatures import make_signature_udf
+        # shingle-only kernel: the full signature UDF also computes the
+        # k-permutation minhash + byte sketch per pair side only to throw
+        # them away (and ships them back over Arrow)
+        from translink.signatures import make_shingle_udf
 
-        sig = make_signature_udf(cfg.num_hashes, cfg.shingle_size)
+        sig = make_shingle_udf(cfg.shingle_size)
         payload = signed.select("conv_id", "canon_text")
         enriched = (
             survivors
@@ -228,8 +236,8 @@ def _run_stages(transcripts, cfg, _stage, timings, cat) -> dict:
                 ),
                 "conv_id_b",
             )
-            .withColumn("shingles_a", sig(F.col("canon_text_a"))["shingle_hashes"])
-            .withColumn("shingles_b", sig(F.col("canon_text_b"))["shingle_hashes"])
+            .withColumn("shingles_a", sig(F.col("canon_text_a")))
+            .withColumn("shingles_b", sig(F.col("canon_text_b")))
         )
         return score_pairs(enriched, cfg, cascade=True).select(
             "conv_id_a", "conv_id_b",

@@ -83,7 +83,12 @@ def jaccard_from_arrays(a: str = "shingles_a", b: str = "shingles_b"):
     work) instead of four times per candidate pair (O(pairs))."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
-    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    # union == 0 (neither side has a single shingle) is ABSENCE of
+    # evidence, not perfect similarity: byte-identical texts are the exact
+    # path's job, and scoring empty-vs-empty as 1.0 falsely merged
+    # unrelated conversations whose text has no tokens in the shingle
+    # alphabet. The SQL oracles encode the same 0.0 branch.
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
 def token_jaccard_expr(
@@ -99,7 +104,7 @@ def token_jaccard_expr(
     sb = shingles_expr(b, n)
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
-    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
 def levenshtein_sim_expr(cap: int, a: str = "canon_text_a", b: str = "canon_text_b"):
@@ -118,6 +123,11 @@ def jaccard_lower_bound(cfg: LinkConfig, include_jaro_winkler: bool = True) -> f
     cascade (P1, README.md:19-47) applied inside the scorer."""
     w_rest = cfg.w_levenshtein + (cfg.w_jaro_winkler if include_jaro_winkler else 0.0)
     w_sum = cfg.w_jaccard + w_rest
+    if cfg.w_jaccard <= 0:
+        # jaccard carries no weight -> it can exclude nothing; validate()
+        # allows a zero weight (only the SUM must be positive), so this
+        # must degrade to "no cascade bound", not divide by zero
+        return 0.0
     return max(0.0, (cfg.threshold * w_sum - w_rest) / cfg.w_jaccard)
 
 

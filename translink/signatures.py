@@ -29,9 +29,20 @@ from pyspark.sql.types import ArrayType, LongType
 
 from translink.config import LinkConfig
 
-#: Tokenization used for shingling and token-Jaccard scoring: split on any
-#: non-alphanumeric run, drop empties, lowercase. Deterministic and cheap.
-TOKENIZE_PATTERN = "[^a-zA-Z0-9]+"
+#: Tokenization used for shingling and token-Jaccard scoring: split on runs
+#: of ASCII non-alphanumeric characters ONLY, drop empties, lowercase.
+#: Non-ASCII code points are token characters — the previous
+#: "[^a-zA-Z0-9]+" class treated EVERY non-Latin character as a separator,
+#: reducing all CJK/Arabic/emoji text to zero tokens, whose empty shingle
+#: sets then looked maximally similar to each other (false merges between
+#: unrelated non-English conversations). CJK still tokenizes coarsely
+#: (runs between ASCII punctuation/whitespace), which is weak but SAFE:
+#: distinct texts produce distinct tokens. The explicit \\x ranges parse
+#: identically in Python re, Java regex, and RE2 (DuckDB); embedding in a
+#: Spark SQL string needs TOKENIZE_PATTERN_SQL (the literal parser eats
+#: single backslashes).
+TOKENIZE_PATTERN = r"[\x00-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f]+"
+TOKENIZE_PATTERN_SQL = TOKENIZE_PATTERN.replace("\\", "\\\\")
 
 
 def tokens_expr(col: str = "canon_text"):
@@ -47,7 +58,7 @@ def shingles_expr(col: str = "canon_text", n: int = 3):
     Keeps duplicates out (distinct) so MinHash estimates set-Jaccard. For
     texts shorter than ``n`` tokens the whole token sequence is one shingle.
     """
-    toks = f"array_remove(split(lower({col}), '{TOKENIZE_PATTERN}'), '')"
+    toks = f"array_remove(split(lower({col}), '{TOKENIZE_PATTERN_SQL}'), '')"
     return F.expr(
         f"array_remove(array_distinct(case when size({toks}) <= {n} "
         f"then array(array_join({toks}, ' ')) "

@@ -112,7 +112,7 @@ def doc_jaccard_pairs(
             F.col("b.doc_id").alias("doc_id_b"),
             (
                 F.when(
-                    F.size(F.array_union("a.shingles", "b.shingles")) == 0, F.lit(1.0)
+                    F.size(F.array_union("a.shingles", "b.shingles")) == 0, F.lit(0.0)
                 ).otherwise(
                     F.size(F.array_intersect("a.shingles", "b.shingles"))
                     / F.size(F.array_union("a.shingles", "b.shingles"))
@@ -350,7 +350,7 @@ def doc_minhash_lsh_pairs(
         )
         .select(
             "doc_id_a", "doc_id_b",
-            F.when(F.size(F.array_union("sh_a", "sh_b")) == 0, F.lit(1.0))
+            F.when(F.size(F.array_union("sh_a", "sh_b")) == 0, F.lit(0.0))
             .otherwise(
                 F.size(F.array_intersect("sh_a", "sh_b"))
                 / F.size(F.array_union("sh_a", "sh_b"))
