@@ -81,3 +81,21 @@ def test_lsh_band_count(spark, tiny):
     bands = lsh_band_keys(signed, cfg)
     assert bands.count() == 10 * 8
     assert bands.select("band_id").distinct().count() == 8
+
+def test_oversized_blocks_generic_over_band_keys(spark, tiny):
+    """The overflow metric must work on ANY salted table, keyed the same
+    way as its with_salt call — here LSH band blocks, where a hot bucket
+    (e.g. a near-constant signature) is the likelier skew source. Also
+    pins n_salt = ceil(size / max): max(salt)+1 understates fan-out in
+    hash salt mode."""
+    cfg = LinkConfig(num_hashes=32, lsh_bands=8, max_block_size=4)
+    signed = with_minhash(canonicalize(tiny["transcripts"], cfg), cfg)
+    bands = with_salt(
+        lsh_band_keys(signed, cfg), ["band_id", "band_hash"], cfg
+    )
+    over = oversized_blocks(bands, cfg, key_cols=["band_id", "band_hash"])
+    rows = over.collect()
+    assert len(rows) >= 1  # the fixture's exact-dup groups overflow 4
+    for r in rows:
+        assert r["block_size"] > cfg.max_block_size
+        assert r["n_salt"] == -(-r["block_size"] // cfg.max_block_size)

@@ -116,16 +116,30 @@ def lsh_band_keys(signed: DataFrame, cfg: LinkConfig | None = None) -> DataFrame
     )
 
 
-def oversized_blocks(df_with_salt: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
+def oversized_blocks(
+    df_with_salt: DataFrame,
+    cfg: LinkConfig | None = None,
+    key_cols: list[str] | tuple[str, ...] = ("block_key",),
+) -> DataFrame:
     """Blocks whose size exceeded the salt bound — the observable overflow
-    metric (P8): each row is one block that was split, with its fan-out."""
+    metric (P8): each row is one block that was split, with its fan-out.
+
+    ``key_cols`` must name the same keys the ``with_salt`` call used, so the
+    metric works for any salted table — attribute blocks (the default) or
+    LSH band blocks (``["band_id", "band_hash"]``), where bucket overflow
+    (e.g. a hot near-constant signature) is the likelier skew source.
+    ``n_salt`` is recomputed from ``block_size`` with ``with_salt``'s own
+    formula: ``max(salt) + 1`` understates the fan-out in ``hash`` salt
+    mode, where ``pmod(xxhash64(id), n_salt)`` need not attain every value.
+    """
     cfg = cfg or LinkConfig()
     return (
         df_with_salt
         .filter(F.col("block_size") > cfg.max_block_size)
-        .groupBy("block_key")
-        .agg(
-            F.max("block_size").alias("block_size"),
-            (F.max("salt") + 1).alias("n_salt"),
+        .groupBy(*key_cols)
+        .agg(F.max("block_size").alias("block_size"))
+        .withColumn(
+            "n_salt",
+            F.ceil(F.col("block_size") / cfg.max_block_size).cast("int"),
         )
     )

@@ -84,6 +84,108 @@ def with_exact_digest(canonical: DataFrame) -> DataFrame:
     })
 
 
+def _shingle_consts(n: int, seed: int):
+    """Odd multiplier per n-gram position (wrapped-int64 combination)."""
+    rng = np.random.default_rng(seed ^ 0x5EED)
+    return ((rng.integers(1, 1 << 62, size=n).astype(np.int64))
+            << np.int64(1)) | np.int64(1)
+
+
+def _minhash_consts(k: int, seed: int):
+    """(A, B) multiply-shift permutation constants, odd A."""
+    rng = np.random.default_rng(seed)
+    A = ((rng.integers(1, 1 << 62, size=k).astype(np.int64))
+         << np.int64(1)) | np.int64(1)
+    B = rng.integers(0, 1 << 62, size=k).astype(np.int64)
+    return A, B
+
+
+def _shingle_rows(texts, pat, C, n: int) -> list:
+    """Per-row deduped word-n-gram shingle hashes for one Arrow batch.
+
+    The ONE implementation of the batch tokenize -> hash -> n-gram-combine
+    -> dedup sequence (shared by the signature and shingle kernels): the
+    hash family feeding MinHash, LSH bands, and the scorer's recomputed
+    pair-side shingles must be bit-identical, so it must not be duplicated.
+    Tokenizes with the compiled ``pat`` (C regex), hashes every token of
+    the batch in one C-vectorized pass (pandas siphash, deterministic fixed
+    key), combines n-grams numerically (s_i = C1*h_i + C2*h_{i+1} + ...,
+    wrapped int64), and dedups per row. Rows with fewer than ``n`` tokens
+    contribute one truncated shingle (same semantics as ``shingles_expr``);
+    empty rows give an empty array.
+    """
+    tok_lists = [
+        [w for w in pat.split((t or "").lower()) if w] for t in texts
+    ]
+    tlens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                        count=len(tok_lists))
+    total = int(tlens.sum())
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for toks in tok_lists:
+        flat[pos: pos + len(toks)] = toks
+        pos += len(toks)
+    TH = (pd.util.hash_array(flat).view(np.int64)
+          if total else np.empty(0, np.int64))
+    rows_sh: list = []
+    pos = 0
+    for ln in tlens:
+        h = TH[pos: pos + ln]
+        pos += ln
+        if ln == 0:
+            rows_sh.append(np.empty(0, np.int64))
+        elif ln <= n:
+            rows_sh.append(np.array(
+                [int((C[:ln] * h).sum(dtype=np.int64))], dtype=np.int64))
+        else:
+            m = int(ln) - n + 1
+            s = np.zeros(m, dtype=np.int64)
+            for j in range(n):
+                s += C[j] * h[j: j + m]
+            rows_sh.append(np.unique(s))
+    return rows_sh
+
+
+def _minhash_matrix(rows, A, B, k: int) -> np.ndarray:
+    """(len(rows), k) int64 MinHash matrix over per-row hash arrays.
+
+    The ONE reduceat-minhash implementation (shared by the signature and
+    minhash kernels). Empty rows get the sentinel signature [0]*k.
+    Cache-blocked: ~100k shingles per chunk so the k permutation passes
+    read L2-resident data — the naive loop streams the whole batch from
+    DRAM k times and saturates memory bandwidth (the stage then stops
+    scaling with cores).
+    """
+    lens = np.fromiter((len(s) for s in rows), dtype=np.int64,
+                       count=len(rows))
+    nonempty = lens > 0
+    mh = np.zeros((len(rows), k), dtype=np.int64)
+    if not nonempty.any():
+        return mh
+    H = np.concatenate([s for s in rows if len(s)])
+    ne_lens = lens[nonempty]
+    starts = np.zeros(len(ne_lens), dtype=np.int64)
+    np.cumsum(ne_lens[:-1], out=starts[1:])
+    sub = np.empty((len(ne_lens), k), dtype=np.int64)
+    CHUNK = 100_000
+    n_rows_ne = len(ne_lens)
+    r0 = 0
+    while r0 < n_rows_ne:
+        r1 = r0
+        s0 = int(starts[r0])
+        end = s0
+        while r1 < n_rows_ne and (end - s0) < CHUNK:
+            end = int(starts[r1] + ne_lens[r1])
+            r1 += 1
+        Hc = H[s0:end]
+        st = starts[r0:r1] - s0
+        for i in range(k):
+            sub[r0:r1, i] = np.minimum.reduceat(A[i] * Hc + B[i], st)
+        r0 = r1
+    mh[nonempty] = sub
+    return mh
+
+
 def make_signature_udf(k: int, n: int, seed: int = 42, emit_shingles: bool = True):
     """Arrow-batched signature kernel: canonical text -> (shingle_hashes,
     minhash), vectorized across the batch.
@@ -95,24 +197,18 @@ def make_signature_udf(k: int, n: int, seed: int = 42, emit_shingles: bool = Tru
 
     Everything per-token/per-shingle happens here, NOT in SQL expressions:
     even a single-level ``transform(tokens, t -> xxhash64(t))`` runs
-    interpreted (~5us/token — 47M tokens at bench scale = 30s+), while this
-    kernel tokenizes with C regex, hashes all tokens in one C-vectorized
-    pass (pandas siphash via ``pd.util.hash_array``, deterministic fixed
-    key), combines word n-grams numerically (s_i = C1*h_i + C2*h_{i+1} + ...,
-    wrapped int64, odd constants), dedups per row, and runs the
-    k-permutation multiply-shift MinHash with one ``minimum.reduceat`` pass
-    per permutation.
+    interpreted (~5us/token — 47M tokens at bench scale = 30s+), while
+    ``_shingle_rows`` + ``_minhash_matrix`` (the shared batch kernels) run
+    one C-vectorized hash pass and one cache-blocked ``minimum.reduceat``
+    pass per permutation.
 
     Rows with fewer than n tokens contribute one truncated shingle (same
     semantics as shingles_expr); empty rows get sentinel minhash [0]*k.
     """
     import re
 
-    rng = np.random.default_rng(seed ^ 0x5EED)
-    C = ((rng.integers(1, 1 << 62, size=n).astype(np.int64)) << np.int64(1)) | np.int64(1)
-    rng2 = np.random.default_rng(seed)
-    A = ((rng2.integers(1, 1 << 62, size=k).astype(np.int64)) << np.int64(1)) | np.int64(1)
-    B = rng2.integers(0, 1 << 62, size=k).astype(np.int64)
+    C = _shingle_consts(n, seed)
+    A, B = _minhash_consts(k, seed)
     pat = re.compile(TOKENIZE_PATTERN)
 
     from pyspark.sql.types import StructField, StructType
@@ -137,68 +233,8 @@ def make_signature_udf(k: int, n: int, seed: int = 42, emit_shingles: bool = Tru
 
     @pandas_udf(out_type)
     def signature_kernel(texts: pd.Series) -> pd.DataFrame:
-        # tokenize (C regex) and flatten the batch's tokens into one array
-        tok_lists = [
-            [w for w in pat.split((t or "").lower()) if w] for t in texts
-        ]
-        tlens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
-                            count=len(tok_lists))
-        total = int(tlens.sum())
-        flat = np.empty(total, dtype=object)
-        pos = 0
-        for toks in tok_lists:
-            flat[pos: pos + len(toks)] = toks
-            pos += len(toks)
-        # one C-vectorized deterministic hash pass over every token
-        TH = (pd.util.hash_array(flat).view(np.int64)
-              if total else np.empty(0, np.int64))
-        # per-row n-gram combination + dedup
-        rows_sh: list = []
-        pos = 0
-        for ln in tlens:
-            h = TH[pos: pos + ln]
-            pos += ln
-            if ln == 0:
-                rows_sh.append(np.empty(0, np.int64))
-            elif ln <= n:
-                rows_sh.append(np.array(
-                    [int((C[:ln] * h).sum(dtype=np.int64))], dtype=np.int64))
-            else:
-                m = int(ln) - n + 1
-                s = np.zeros(m, dtype=np.int64)
-                for j in range(n):
-                    s += C[j] * h[j: j + m]
-                rows_sh.append(np.unique(s))
-        lens = np.fromiter((len(s) for s in rows_sh), dtype=np.int64,
-                           count=len(rows_sh))
-        nonempty = lens > 0
-        mh = np.zeros((len(rows_sh), k), dtype=np.int64)
-        if nonempty.any():
-            H = np.concatenate([s for s in rows_sh if len(s)])
-            ne_lens = lens[nonempty]
-            starts = np.zeros(len(ne_lens), dtype=np.int64)
-            np.cumsum(ne_lens[:-1], out=starts[1:])
-            sub = np.empty((len(ne_lens), k), dtype=np.int64)
-            # cache-blocked: process ~100k shingles per chunk so the k
-            # permutation passes read L2-resident data — the naive loop
-            # streams the whole batch from DRAM k times and saturates
-            # memory bandwidth (the stage then stops scaling with cores)
-            CHUNK = 100_000
-            n_rows_ne = len(ne_lens)
-            r0 = 0
-            while r0 < n_rows_ne:
-                r1 = r0
-                s0 = int(starts[r0])
-                end = s0
-                while r1 < n_rows_ne and (end - s0) < CHUNK:
-                    end = int(starts[r1] + ne_lens[r1])
-                    r1 += 1
-                Hc = H[s0:end]
-                st = starts[r0:r1] - s0
-                for i in range(k):
-                    sub[r0:r1, i] = np.minimum.reduceat(A[i] * Hc + B[i], st)
-                r0 = r1
-            mh[nonempty] = sub
+        rows_sh = _shingle_rows(texts, pat, C, n)
+        mh = _minhash_matrix(rows_sh, A, B, k)
         tagged = mh * TAG_A + TAG_I  # wraps mod 2^64; bijective per position
         # pack the low byte of each position-scrambled component, 8 per long
         lanes = (tagged.view(np.uint64) & np.uint64(0xFF)).reshape(len(mh), k // 8, 8)
@@ -226,42 +262,12 @@ def make_shingle_udf(n: int, seed: int = 42):
     negligible 64-bit collisions."""
     import re
 
-    rng = np.random.default_rng(seed ^ 0x5EED)
-    C = ((rng.integers(1, 1 << 62, size=n).astype(np.int64)) << np.int64(1)) | np.int64(1)
+    C = _shingle_consts(n, seed)
     pat = re.compile(TOKENIZE_PATTERN)
 
     @pandas_udf(ArrayType(LongType()))
     def shingle_kernel(texts: pd.Series) -> pd.Series:
-        tok_lists = [
-            [w for w in pat.split((t or "").lower()) if w] for t in texts
-        ]
-        tlens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
-                            count=len(tok_lists))
-        total = int(tlens.sum())
-        flat = np.empty(total, dtype=object)
-        pos = 0
-        for toks in tok_lists:
-            flat[pos: pos + len(toks)] = toks
-            pos += len(toks)
-        TH = (pd.util.hash_array(flat).view(np.int64)
-              if total else np.empty(0, np.int64))
-        rows_sh: list = []
-        pos = 0
-        for ln in tlens:
-            h = TH[pos: pos + ln]
-            pos += ln
-            if ln == 0:
-                rows_sh.append(np.empty(0, np.int64))
-            elif ln <= n:
-                rows_sh.append(np.array(
-                    [int((C[:ln] * h).sum(dtype=np.int64))], dtype=np.int64))
-            else:
-                m = int(ln) - n + 1
-                s = np.zeros(m, dtype=np.int64)
-                for j in range(n):
-                    s += C[j] * h[j: j + m]
-                rows_sh.append(np.unique(s))
-        return pd.Series(rows_sh)
+        return pd.Series(_shingle_rows(texts, pat, C, n))
 
     return shingle_kernel
 
@@ -282,9 +288,7 @@ def make_minhash_udf(k: int, seed: int = 42):
     hash space per permutation, the standard multiply-shift MinHash family.
     Empty shingle sets get the constant sentinel signature [0]*k.
     """
-    rng = np.random.default_rng(seed)
-    A = ((rng.integers(1, 1 << 62, size=k).astype(np.int64)) << np.int64(1)) | np.int64(1)
-    B = rng.integers(0, 1 << 62, size=k).astype(np.int64)
+    A, B = _minhash_consts(k, seed)
 
     @pandas_udf(ArrayType(LongType()))
     def minhash_kernel(col: pd.Series) -> pd.Series:
@@ -292,19 +296,7 @@ def make_minhash_udf(k: int, seed: int = 42):
             np.asarray(a, dtype=np.int64) if a is not None else np.empty(0, np.int64)
             for a in col
         ]
-        lens = np.array([len(a) for a in arrs], dtype=np.int64)
-        nonempty = lens > 0
-        out = np.zeros((len(arrs), k), dtype=np.int64)  # sentinel rows
-        if nonempty.any():
-            H = np.concatenate([a for a in arrs if len(a)])
-            ne_lens = lens[nonempty]
-            starts = np.zeros(len(ne_lens), dtype=np.int64)
-            np.cumsum(ne_lens[:-1], out=starts[1:])
-            sub = np.empty((len(ne_lens), k), dtype=np.int64)
-            for i in range(k):
-                sub[:, i] = np.minimum.reduceat(A[i] * H + B[i], starts)
-            out[nonempty] = sub
-        return pd.Series(list(out))
+        return pd.Series(list(_minhash_matrix(arrs, A, B, k)))
 
     return minhash_kernel
 
