@@ -1892,8 +1892,9 @@ scored AS (
               ELSE CAST(dot AS DOUBLE)
                    / sqrt(CAST(l2a AS DOUBLE) * CAST(l2b AS DOUBLE))
          END AS hist_cosine,
-         (CAST(8 AS DOUBLE) - abs(ent_a - ent_b))
-           / CAST(8 AS DOUBLE) * CAST(100 AS DOUBLE) AS entropy_sim
+         greatest(CAST(0 AS DOUBLE),
+                  (CAST(8 AS DOUBLE) - abs(ent_a - ent_b))
+                    / CAST(8 AS DOUBLE) * CAST(100 AS DOUBLE)) AS entropy_sim
   FROM feat
 )
 SELECT doc_id_a, doc_id_b, hist_cosine, entropy_sim,

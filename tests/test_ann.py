@@ -179,3 +179,8 @@ def test_ivf_training_rejects_unusable_sample():
         _train_centroids(np.zeros((4, 8)), n_centroids=2, iters=2, rng=rng)
     with _pytest.raises(ValueError, match="no usable vectors"):
         _train_centroids(np.zeros((0, 8)), n_centroids=2, iters=2, rng=rng)
+    # the truly-empty sample (shape (0,), what np.array([]) gives when the
+    # sampled table has no rows) must hit the SAME diagnosis, not numpy's
+    # AxisError from norm(axis=1)
+    with _pytest.raises(ValueError, match="no usable vectors"):
+        _train_centroids(np.array([]), n_centroids=2, iters=2, rng=rng)

@@ -122,3 +122,19 @@ def test_local_manifest_corrupt_degrades_missing_permission_does_not(tmp_path, s
     with open(cat.manifest_path, "w") as fh:
         fh.write("{not json")
     assert cat._read_manifest() == {}
+
+
+def test_iceberg_table_name_sanitizes_path_namespace(spark, tmp_path):
+    """Namespace derived from a filesystem path must fold every char
+    outside [A-Za-z0-9_] to '_' — dashes/dots are legal in paths but break
+    an unquoted multipart Iceberg identifier on the first write."""
+    from translink.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "run-2026.08.18 final"))
+    cat._iceberg_catalog = "ice"
+    name = cat._table_name("signed")
+    assert name.startswith("ice.") and name.endswith(".signed")
+    ns = name.split(".", 1)[1].rsplit(".", 1)[0]
+    assert ns == ns.replace("-", "_") and " " not in ns
+    import re as _re
+    assert _re.fullmatch(r"[A-Za-z0-9_]+", ns)

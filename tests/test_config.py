@@ -134,3 +134,14 @@ def test_stream_redelivery_validation():
     with pytest.raises(ValueError, match="stream_redelivery"):
         LinkConfig(stream_redelivery="bogus").validate()
     assert LinkConfig(stream_redelivery="replace").validate()
+
+
+def test_lsh_bands_zero_raises_diagnostic():
+    """lsh_bands=0 must raise the named-knob ValueError, not
+    ZeroDivisionError from the divisibility check."""
+    import pytest as _pytest
+
+    from translink.config import LinkConfig
+
+    with _pytest.raises(ValueError, match="lsh_bands"):
+        LinkConfig(lsh_bands=0).validate()

@@ -152,3 +152,22 @@ def test_stat_sim_block_bound_under_planted_skew(spark):
     cnt = pairs.count()
     # ceil(500/32)=16 salts -> sub-blocks of ~31/32 rows: far below n^2/2
     assert 0 < cnt <= 16 * (32 * 31) // 2
+
+
+def test_entropy_sim_clamped_at_zero(spark):
+    """Per-codepoint entropy is unbounded (CJK text exceeds the 8-bit
+    byte-distribution span the reference formula assumes): the closeness
+    term must clamp at 0, not go negative and push stat_sim off its
+    documented 0-100 scale."""
+    rows = [
+        # ~high-entropy doc: many distinct CJK codepoints, once each
+        (1, "zh", "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏闰余成岁律吕调阳"),
+        # same lang + length bucket, near-zero entropy
+        (2, "zh", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = doc_stat_similarity_pairs(docs, threshold=0.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["entropy_sim"] >= 0.0
+    assert 0.0 <= r["stat_sim"] <= 100.0

@@ -116,3 +116,20 @@ def test_chunk_audio_windows_overlap(spark):
     seq = lambda aid: sorted(
         (r["chunk_idx"], r["chunk_hash"]) for r in per_asset[aid])
     assert seq(8) == seq(0)
+
+
+def test_feature_hash_is_order_sensitive():
+    """Content hashes must distinguish permuted payloads: a byte-sum
+    digest is permutation-invariant, so distinct assets collided and
+    dedup_by_feature merged them as exact duplicates."""
+    import pandas as pd
+
+    from translink.multimodal import _hash_bytes, decode_image_batch
+
+    a, b = b"\x00\x02" * 600, b"\x01\x01" * 600  # equal byte sums
+    assert _hash_bytes(a) != _hash_bytes(b)
+    out = decode_image_batch(pd.Series([a, b]), fake=True)
+    assert out["feature_hash"][0] != out["feature_hash"][1]
+    # and large payloads must not overflow (old int64-sum path did)
+    big = bytes(range(256)) * 1024  # 256 KiB, byte-sum >> 2^63 / prime
+    assert decode_image_batch(pd.Series([big]), fake=True)["feature_hash"][0] > 0

@@ -147,3 +147,20 @@ def test_text_report_golden_substrings(spark, members):
     assert "[*]" in txt and "[ ]" in txt  # at least one primary + one dup listed
     # stats lines present and aligned
     assert "conversations" in txt and "savings (chars)" in txt
+
+
+def test_write_report_text_remote_style_path(spark, tmp_path):
+    """fmt='text' must write through the Hadoop FileSystem for URI paths
+    (json/csv already do via DataFrame writers): a driver-local open() on
+    'file://...' or s3a fails after the whole pipeline already ran."""
+    from translink.report import write_report
+
+    members = spark.createDataFrame(
+        [(1, "c1", 2, 10, None, True), (1, "c2", 2, 10, None, False)],
+        "cluster_id long, conv_id string, n_turns long, total_chars long, "
+        "max_ts timestamp, is_primary boolean",
+    )
+    out = f"file://{tmp_path}/report.txt"
+    write_report(members, out, fmt="text")
+    text = (tmp_path / "report.txt").read_text()
+    assert "c1" in text

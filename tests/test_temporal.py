@@ -193,3 +193,22 @@ def test_rolling_event_stats_boundaries(spark):
         6: (1, 1.0),
         7: (1, 2.0),    # 1h + 500ms: microsecond key keeps it out
     }
+
+
+def test_asof_join_ignores_null_ts_right_rows(spark):
+    """A right row with NULL ts must not participate: 'at or before' is
+    undefined for a null timestamp. Before the fix it sorted FIRST
+    (ascending = nulls first) and its payload was carried into every
+    otherwise-unmatched left row — a fabricated match."""
+    left = spark.createDataFrame(
+        [(1, 100, _mins(3))],  # before any real right row -> must be null
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(99, 100, None), (11, 100, _mins(5))],
+        "rid long, user_id long, ts timestamp",
+    )
+    row = asof_join(
+        left, right, keys=["user_id"], ts_col="ts", payload_cols=["rid"]
+    ).first()
+    assert row["asof_rid"] is None

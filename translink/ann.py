@@ -281,6 +281,9 @@ def _train_centroids(
     kmeans++ seeding — numpy on the driver over a BOUNDED sample, the way
     IVF coarse quantizers are normally trained (the index must not require
     a pass over 100 TB to build). Deterministic given the rng."""
+    # an empty sample reaches the diagnostic below, not numpy's AxisError:
+    # np.linalg.norm(np.array([]), axis=1) raises before the n == 0 check
+    X = X.reshape(0, 1) if X.size == 0 else X
     norms = np.linalg.norm(X, axis=1)
     Xn = X[norms > 0] / norms[norms > 0, None]
     n = Xn.shape[0]

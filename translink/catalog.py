@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import time
 import uuid
 
@@ -155,7 +156,11 @@ class Catalog:
         return self.spark.read.parquet(self.stage_path(stage))
 
     def _table_name(self, stage: str) -> str:
-        ns = self.root.strip("/").replace("/", "_")
+        # the namespace is derived from a filesystem path: every character
+        # outside [A-Za-z0-9_] (dashes, dots, spaces — all legal in paths)
+        # must be folded to '_', or the unquoted multipart identifier fails
+        # to parse on the first write ('cat.tmp_run-2026.stage')
+        ns = re.sub(r"[^A-Za-z0-9_]", "_", self.root.strip("/"))
         return f"{self._iceberg_catalog}.{ns}.{stage}"
 
     def write_stage(

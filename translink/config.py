@@ -82,6 +82,10 @@ class LinkConfig:
         ``src/config.rs:64-105``, ``tests/config_test.rs:5-18``)."""
         if not (0.0 <= self.threshold <= 1.0):
             raise ValueError(f"threshold must be in [0, 1], got {self.threshold}")
+        if self.lsh_bands <= 0:
+            # checked BEFORE the divisibility test: lsh_bands=0 must raise
+            # the diagnostic ValueError, not ZeroDivisionError from '%'
+            raise ValueError(f"lsh_bands must be positive, got {self.lsh_bands}")
         if self.num_hashes <= 0 or self.num_hashes % self.lsh_bands:
             raise ValueError(
                 f"num_hashes ({self.num_hashes}) must be a positive multiple "

@@ -47,12 +47,13 @@ REF_WEIGHT_SIMHASH = 0.4
 REF_WEIGHT_COSINE = 0.4
 REF_WEIGHT_ENTROPY = 0.2
 # entropy closeness normalizer: reference uses 8.0 (max bits of a byte
-# distribution, src/pipeline/stats.rs:258-259); kept for the text analog
+# distribution, src/pipeline/stats.rs:258-259); kept for the text analog.
+# Per-codepoint entropy is UNBOUNDED (CJK text routinely exceeds 8 bits),
+# so the closeness term is clamped at 0 rather than going negative and
+# pushing stat_sim off its documented 0-100 scale.
 ENTROPY_SPAN_BITS = 8.0
 
-
-def _parallelism(df: DataFrame) -> int:
-    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+from translink.textops import _parallelism  # noqa: E402  (shared helper)
 
 
 def _char_counts(docs: DataFrame) -> DataFrame:
@@ -399,9 +400,10 @@ def doc_stat_similarity_pairs(
 
     cos = _cosine_col(F.col("dot"), F.col("l2a"), F.col("l2b"))
     # unrounded for the same cross-engine-determinism reason as _cosine_col
-    ent_sim = (
+    ent_sim = F.greatest(
+        F.lit(0.0),
         (F.lit(ENTROPY_SPAN_BITS) - F.abs(F.col("ent_a") - F.col("ent_b")))
-        / F.lit(ENTROPY_SPAN_BITS) * F.lit(100.0)
+        / F.lit(ENTROPY_SPAN_BITS) * F.lit(100.0),
     )
     scored = pairs.select(
         "doc_id_a", "doc_id_b",

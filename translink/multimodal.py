@@ -15,6 +15,7 @@ and tested, so dropping in a real decoder is a one-function change.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -86,8 +87,12 @@ def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
         arr = np.frombuffer(p, dtype=np.uint8)
         widths.append(int(16 + arr[: 8].sum() % 1024))
         heights.append(int(16 + arr[-8:].sum() % 1024))
-        h = int(np.int64(arr.astype(np.int64).sum() * 1099511628211 % (1 << 63)))
-        hashes.append(h)
+        # order-sensitive content digest (blake2b, C-speed over the raw
+        # bytes). A byte-sum digest is permutation-invariant — any two
+        # payloads with equal sums collide, and dedup_by_feature then
+        # merges distinct assets as exact duplicates; the int64 sum also
+        # overflows for payloads past ~65KB.
+        hashes.append(_hash_bytes(p))
     return pd.DataFrame({"width": widths, "height": heights, "feature_hash": hashes})
 
 
@@ -168,16 +173,19 @@ def _fake_decode_gray(payload: bytes) -> np.ndarray:
     return np.resize(arr, (side, side))
 
 
+def _hash_bytes(b: bytes) -> int:
+    """Order-sensitive 63-bit content digest (blake2b truncated): content
+    identity without shipping the bytes. Must be position-sensitive — a
+    byte-sum/FNV-of-chunk-sums digest is permutation-invariant within its
+    chunks, so distinct frames/thumbnails collide constantly and any
+    dedup built on the hash merges unrelated assets."""
+    d = hashlib.blake2b(b, digest_size=8).digest()
+    return int.from_bytes(d, "big") & 0x7FFFFFFFFFFFFFFF
+
+
 def _hash_u8(a: np.ndarray) -> int:
-    """FNV-style deterministic digest of a uint8 array (content identity
-    for frames/chunks/thumbnails without shipping the bytes)."""
-    h = np.uint64(14695981039346656037)
-    prime = np.uint64(1099511628211)
-    with np.errstate(over="ignore"):
-        for chunk in np.array_split(a.ravel(), max(a.size // 65536, 1)):
-            h = (h * prime) ^ np.uint64(int(chunk.astype(np.uint64).sum()) & 0x7FFFFFFFFFFFFFFF)
-            h ^= np.uint64(chunk.size)
-    return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+    """_hash_bytes over a uint8 array's buffer (row-major, contiguous)."""
+    return _hash_bytes(np.ascontiguousarray(a).tobytes())
 
 
 def resize_images(

@@ -209,8 +209,23 @@ def write_report(
     elif fmt == "csv":
         members.write.mode("overwrite").option("header", True).csv(path)
     elif fmt == "text":
-        with open(path, "w") as fh:
-            fh.write(format_text_report(members))
+        text = format_text_report(members)
+        if "://" in path:
+            # hdfs/s3a outputs go through the Hadoop FileSystem API like
+            # the catalog manifest does — a local open() on a remote URI
+            # fails on the driver AFTER the whole pipeline already ran
+            spark = members.sparkSession
+            jvm = spark.sparkContext._jvm
+            conf = spark.sparkContext._jsc.hadoopConfiguration()
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            out = p.getFileSystem(conf).create(p, True)
+            try:
+                out.write(bytearray(text.encode()))
+            finally:
+                out.close()
+        else:
+            with open(path, "w") as fh:
+                fh.write(text)
     else:
         raise ValueError(f"unknown report format: {fmt}")
 

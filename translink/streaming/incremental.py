@@ -211,7 +211,7 @@ def recluster_incremental(
     from translink.blocking import lsh_band_keys, with_block_key
     from translink.clustering import connected_components
     from translink.scoring import score_pairs
-    from translink.signatures import make_signature_udf
+    from translink.signatures import make_shingle_udf
 
     cfg = cfg or LinkConfig()
     new_signed = signed.join(new_ids, "conv_id", "left_semi")
@@ -281,7 +281,11 @@ def recluster_incremental(
     ).select("conv_id_a", "conv_id_b")
 
     payload = signed.select("conv_id", "canon_text")
-    sig_udf = make_signature_udf(cfg.num_hashes, cfg.shingle_size)
+    # shingle-only kernel: the full signature UDF would also compute the
+    # k-permutation minhash + byte sketch per pair side only to discard
+    # them (and ship them back over Arrow) — same fix as pipeline.py's
+    # scored stage
+    sig_udf = make_shingle_udf(cfg.shingle_size)
     enriched = (
         sim_pairs
         .join(payload.select(F.col("conv_id").alias("conv_id_a"),
@@ -290,8 +294,8 @@ def recluster_incremental(
         .join(payload.select(F.col("conv_id").alias("conv_id_b"),
                              F.col("canon_text").alias("canon_text_b")),
               "conv_id_b")
-        .withColumn("shingles_a", sig_udf(F.col("canon_text_a"))["shingle_hashes"])
-        .withColumn("shingles_b", sig_udf(F.col("canon_text_b"))["shingle_hashes"])
+        .withColumn("shingles_a", sig_udf(F.col("canon_text_a")))
+        .withColumn("shingles_b", sig_udf(F.col("canon_text_b")))
     )
     scored = score_pairs(enriched, cfg, cascade=True)
     sim_new_edges = scored.filter(F.col("score") >= cfg.threshold).select(

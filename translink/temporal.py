@@ -47,6 +47,13 @@ def asof_join(
     # semantics (the left row sees it), AFTER it for strict <.
     left_tag, right_tag = (1, 0) if not strict else (0, 1)
 
+    # NULL-ts right rows would sort FIRST (ascending = nulls first) and
+    # their payload would be carried into every left row of the key by
+    # last(..., ignorenulls=True) — a fabricated match for left rows that
+    # have no real predecessor. "At or before" is undefined for a null
+    # timestamp, so such rows cannot participate.
+    right = right.filter(F.col(ts_col).isNotNull())
+
     lhs = left.withColumn("_tag", F.lit(left_tag))
     rhs = right.select(
         *keys,
