@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -82,7 +83,8 @@ def materialize(df) -> tuple[int, int]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)  # 'transfer' etc. contain 'sf'
+    sf = float(m.group(1)) if m else -1.0
     spark = get_spark(
         master=f"local[{cpus}]",
         shuffle_partitions=max(32, 2 * cpus),

@@ -56,6 +56,11 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if args.only and args.only not in queries:
+        # a typo'd --only must not skip every check and then print the
+        # gate's ALL MATCH success line
+        raise SystemExit(f"unknown query {args.only!r}; registered: "
+                         + ", ".join(sorted(queries)))
     failures = []
     for name, fn in queries.items():
         if args.only and name != args.only:

@@ -92,3 +92,70 @@ def test_stream_matches_batch_twin(spark, tmp_path):
     assert got == want and set(want) == {"c1", "c2", "c4", "c5"}
     assert want["c4"] == (2, "user: second delivery\nassistant: ", True)
     assert want["c5"] == (0, "", True)
+
+
+def test_separator_in_text_survives_cross_batch_state(spark, tmp_path):
+    """A held turn whose text contains the US/RS separators must not
+    corrupt the packed state: before the fix, split() on the next batch
+    misaligned the zip and scrambled/dropped turns. Both twins strip the
+    separators, so stream == batch."""
+    src = str(tmp_path / "asm_sep")
+    spark.createDataFrame(
+        [("s1", 0, "user", "a\x1fb\x1ec")], SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [("s1", 1, "assistant", "ok"), ("s1", 99, "__end__", "")], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    got = _run_stream(spark, src)
+    assert got == {"s1": (2, "user: abc\nassistant: ok", True)}
+
+
+def test_redelivered_end_marker_emits_once(spark, tmp_path):
+    """An at-least-once source re-delivering the __end__ marker in a later
+    micro-batch must NOT re-emit a spurious empty row: the tombstone state
+    consumes duplicates, matching the batch twin's marker dedup."""
+    src = str(tmp_path / "asm_dup_end")
+    spark.createDataFrame(
+        [("d1", 0, "user", "x"), ("d1", 99, "__end__", "")], SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [("d1", 99, "__end__", "")], SCHEMA  # duplicate delivery
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = assemble_conversations_stream(stream)
+    qname = "test_assemble_dup_end"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    assert len(rows) == 1  # exactly once, not a second (d1, 0, "", True)
+    assert (rows[0]["n_turns"], rows[0]["complete"]) == (1, True)
+
+
+def test_null_role_and_turn_idx_match_batch(spark, tmp_path):
+    """Null-role and null-turn_idx rows are dropped by BOTH twins (the
+    batch filter's null comparison already dropped them; the stream kernel
+    used to crash on max() vs None / int(None))."""
+    rows = [
+        ("n1", 0, "user", "keep"),
+        ("n1", 1, None, "dropped: null role"),
+        ("n1", None, "assistant", "dropped: null idx"),
+        ("n1", 99, "__end__", ""),
+    ]
+    turns = spark.createDataFrame(rows, SCHEMA)
+    src = str(tmp_path / "asm_nulls")
+    turns.coalesce(1).write.mode("overwrite").parquet(src)
+
+    got = _run_stream(spark, src)
+    want = {
+        r["conv_id"]: (r["n_turns"], r["transcript"], r["complete"])
+        for r in assemble_conversations_batch(turns).collect()
+    }
+    assert got == want == {"n1": (1, "user: keep", True)}

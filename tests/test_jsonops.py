@@ -31,3 +31,19 @@ def test_parse_json_col_prefix_keeps_existing(spark):
                                "event_id long, event_type string, props string")
     out = parse_json_col(df, "k BIGINT", "props", prefix="props_")
     assert out.columns == ["event_id", "event_type", "props", "props_k"]
+
+
+def test_parse_json_col_rejects_column_collision(spark):
+    """A schema field matching an existing column (with the default empty
+    prefix) must fail at plan-build time with the cause — the duplicate
+    name otherwise surfaces later as AMBIGUOUS_REFERENCE."""
+    import pytest as _pytest
+
+    from translink.jsonops import parse_json_col
+
+    df = spark.createDataFrame([(1, '{"ts": 5}')], "ts long, props string")
+    with _pytest.raises(ValueError, match="collide"):
+        parse_json_col(df, "ts BIGINT", "props")
+    # a prefix resolves it
+    out = parse_json_col(df, "ts BIGINT", "props", prefix="p_")
+    assert out.columns == ["ts", "props", "p_ts"]

@@ -65,3 +65,22 @@ def test_stratified_is_deterministic(spark):
         for r in doc_sample_stratified(docs.repartition(7)).collect()
     )
     assert a == b
+
+
+def test_sample_frac_rejects_malformed_threshold(spark):
+    """Uppercase / mis-sized thresholds silently selected the wrong
+    fraction (lexicographic compare against lowercase hex keys)."""
+    import pytest as _pytest
+
+    from translink.sampling import doc_sample_frac
+
+    docs = spark.createDataFrame(
+        [(1, "en", "s", 10)], "doc_id long, lang string, source string, n_chars long"
+    )
+    for bad in ("20", "z000", "0x20"):
+        with _pytest.raises(ValueError, match="hex"):
+            doc_sample_frac(docs, threshold_hex=bad)
+    # uppercase input is NORMALIZED, not rejected: same rows as lowercase
+    lo = doc_sample_frac(docs, threshold_hex="a800").collect()
+    hi = doc_sample_frac(docs, threshold_hex="A800").collect()
+    assert lo == hi

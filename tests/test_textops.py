@@ -518,3 +518,15 @@ def test_url_stats_known_values(spark):
     assert got[2]["n_urls"] == 0 and got[2]["url_char_frac"] == 0.0
     assert got[3]["n_urls"] == 3 and got[3]["n_unique_hosts"] == 2
     assert got[4]["n_urls"] == 0 and got[4]["url_char_frac"] == 0.0
+
+
+def test_doc_jaccard_pairs_rejects_unknown_method(spark):
+    """A typo'd method must raise, not silently run the ~15x-slower
+    interpreted expression path (siblings already raise)."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b c")], "doc_id long, lang string, text string"
+    )
+    with _pytest.raises(ValueError, match="unknown method"):
+        doc_jaccard_pairs(docs, method="arow")

@@ -29,6 +29,14 @@ def parse_json_col(
     existing columns. Malformed or missing fields are null."""
     parsed: Column = F.from_json(F.col(json_col), schema)
     names = [f.name for f in StructType.fromDDL(schema).fields]
+    clashes = {f"{prefix}{n}" for n in names} & set(df.columns)
+    if clashes:
+        # fail at plan-build time with the cause: a duplicate column name
+        # surfaces later as AMBIGUOUS_REFERENCE on the first use
+        raise ValueError(
+            f"extracted column(s) {sorted(clashes)} collide with existing "
+            f"columns; pass a prefix"
+        )
     return df.select(
         *df.columns,
         *[parsed.getField(n).alias(f"{prefix}{n}") for n in names],

@@ -64,9 +64,11 @@ class ProgressReporter:
             try:
                 self._tick()
             except Exception:
-                # observation must never kill the job (e.g. context torn
-                # down mid-poll); stop quietly
-                return
+                # observation must never kill the job, but neither may one
+                # transient RPC failure (a driver GC pause hours into a
+                # run) permanently silence the reporter — skip the tick
+                # and poll again; teardown stops the loop via _stop
+                continue
 
     def _tick(self) -> None:
         tracker = self.spark.sparkContext.statusTracker()

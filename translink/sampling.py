@@ -42,6 +42,12 @@ def doc_sample_frac(
     """Keep rows whose 16-bit hash lane < ``threshold_hex`` (default
     0x2000/0x10000 = 12.5%). Zero shuffle: the plan is a single Filter
     pushed onto the scan projection."""
+    threshold_hex = threshold_hex.lower()
+    if len(threshold_hex) != 4 or any(c not in "0123456789abcdef" for c in threshold_hex):
+        # the comparison is lexicographic against 4 lowercase hex chars:
+        # an uppercase or mis-sized threshold silently selects the wrong
+        # fraction ('A800' < 'a' for every digit-leading key)
+        raise ValueError(f"threshold_hex must be 4 lowercase hex chars, got {threshold_hex!r}")
     return docs.select(
         "doc_id", "lang", "source", "n_chars", _accept_key(seed).alias("sample_key")
     ).filter(F.col("sample_key") < threshold_hex)

@@ -35,6 +35,7 @@ generalized to out-of-order delivery.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -58,13 +59,22 @@ STATE_SCHEMA = StructType(
         StructField("idxs", StringType()),   # "|"-joined turn_idx ints
         StructField("roles", StringType()),  # unit-separator-joined
         StructField("texts", StringType()),
+        # tombstone: conversation already emitted; re-delivered markers or
+        # late turns are consumed silently so emission is exactly-once
+        # under at-least-once delivery (the batch twin's .distinct())
+        StructField("done", BooleanType()),
     ]
 )
 
-#: Unit separator — cannot appear in fixture text; keeps the packed state
-#: columns splittable without escaping.
+#: Unit separator for the packed state columns. Payload text is arbitrary
+#: (tool output routinely carries control characters — see
+#: translink/canonicalize.py), so BOTH twins strip the RS/US separators
+#: from role and text before resolution: an un-escaped separator inside a
+#: held turn would misalign the zip() on the next micro-batch and silently
+#: scramble the reassembled transcript.
 _US = "\x1f"
 _SEP = "\n"
+_STRIP = re.compile("[\x1e\x1f]")
 
 
 def _assemble(
@@ -72,7 +82,16 @@ def _assemble(
 ) -> Iterator[pd.DataFrame]:
     turns = {}
     if state.exists:
-        idxs_s, roles_s, texts_s = state.get
+        idxs_s, roles_s, texts_s, tombstone = state.get
+        if tombstone:
+            # already emitted: consume re-deliveries (late turns, duplicate
+            # markers) without a second output row — without this, an
+            # at-least-once source re-delivering the marker after
+            # state.remove() re-emitted a spurious (conv_id, 0, "", True)
+            # row that the batch twin (which dedups markers) never produces
+            for _ in pdfs:
+                pass
+            return
         if idxs_s:  # a state row can hold zero turns (marker not yet seen)
             turns = {
                 int(i): (r, t)
@@ -84,16 +103,30 @@ def _assemble(
     done = False
     for pdf in pdfs:
         for row in pdf.itertuples():
-            if row.role == "__end__":
+            # null role / null turn_idx rows are dropped in BOTH twins
+            # (the batch filter's null comparison drops them; an unordered
+            # turn cannot be placed): without the guards the stream kernel
+            # dies on max() against None or int(None/NaN)
+            if row.role is None:
+                continue
+            role = _STRIP.sub("", str(row.role))
+            if role == "__end__":
                 done = True
-            else:
-                idx = int(row.turn_idx)
-                cand = (row.role, "" if row.text is None else str(row.text))
-                prev = turns.get(idx)
-                turns[idx] = cand if prev is None else max(prev, cand)
+                continue
+            if row.turn_idx is None or row.turn_idx != row.turn_idx:
+                continue
+            idx = int(row.turn_idx)
+            text = "" if row.text is None else _STRIP.sub("", str(row.text))
+            cand = (role, text)
+            prev = turns.get(idx)
+            turns[idx] = cand if prev is None else max(prev, cand)
 
     if done:
-        state.remove()
+        # tombstone instead of remove: one tiny row per closed conversation
+        # buys exactly-once emission under re-delivery. A processing-time
+        # timeout would bound tombstone state in a long-lived production
+        # stream; NoTimeout keeps availableNow drains deterministic.
+        state.update(("", "", "", True))
         ordered = sorted(turns.items())
         yield pd.DataFrame(
             {
@@ -112,6 +145,7 @@ def _assemble(
                 "|".join(str(i) for i, _ in items),
                 _US.join(r for _, (r, _t) in items),
                 _US.join(t for _, (_r, t) in items),
+                False,
             )
         )
 
@@ -140,15 +174,33 @@ def assemble_conversations_batch(turns: DataFrame) -> DataFrame:
     (max (role, text), null text normalized to '') as the stream."""
     from pyspark.sql import functions as F
 
-    payload = turns.filter(F.col("role") != "__end__").select(
-        "conv_id",
-        "turn_idx",
-        F.struct("role", F.coalesce("text", F.lit("")).alias("text")).alias("_rt"),
+    clean_role = F.regexp_replace(F.col("role"), "[\\x1e\\x1f]", "")
+    clean_text = F.regexp_replace(
+        F.coalesce("text", F.lit("")), "[\\x1e\\x1f]", ""
+    )
+    payload = (
+        turns
+        .filter(F.col("role").isNotNull() & F.col("turn_idx").isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.struct(
+                clean_role.alias("role"), clean_text.alias("text")
+            ).alias("_rt"),
+        )
+        .filter(F.col("_rt.role") != "__end__")
     )
     resolved = payload.groupBy("conv_id", "turn_idx").agg(
         F.max("_rt").alias("_rt")
     )
-    ended = turns.filter(F.col("role") == "__end__").select("conv_id").distinct()
+    ended = (
+        turns
+        .filter(
+            F.regexp_replace(F.coalesce("role", F.lit("")), "[\\x1e\\x1f]", "")
+            == "__end__"
+        )
+        .select("conv_id").distinct()
+    )
     agg = resolved.groupBy("conv_id").agg(
         F.count("*").cast("long").alias("n_turns"),
         F.array_join(

@@ -27,6 +27,22 @@ from translink.signatures import shingles_expr, with_minhash
 _ID = "doc_id"
 
 
+#: ASCII word-separator class for the document-STATS family (langid,
+#: quality, token stats, repetition, passages, top-ngrams): deliberately
+#: DISTINCT from the linkage engine's TOKENIZE_PATTERN (signatures.py),
+#: which treats non-ASCII as token material — these operators measure
+#: ASCII word statistics and their DuckDB oracles encode this same class.
+_ASCII_SEP = "[^a-zA-Z0-9]+"
+
+
+def _ascii_tokens(col=None):
+    """Lowercase ASCII word tokens of ``col`` (default: null-coalesced
+    ``text``) — the ONE tokenizer expression for the doc-stats family, so
+    a change cannot silently diverge the six operators that share it."""
+    c = F.coalesce("text", F.lit("")) if col is None else col
+    return F.array_remove(F.split(F.lower(c), _ASCII_SEP), "")
+
+
 def _parallelism(df: DataFrame) -> int:
     """Session shuffle parallelism — the right partition count for CPU-bound
     signature stages (byte-based AQE coalescing or a single small input file
@@ -82,8 +98,13 @@ def doc_jaccard_pairs(
         from translink.signatures import make_shingle_udf
 
         sh = make_shingle_udf(shingle_n)(F.coalesce("text", F.lit("")))
-    else:
+    elif method == "expr":
         sh = shingles_expr("coalesce(text, '')", shingle_n)
+    else:
+        # a typo must not silently fall through to the ~15x-slower
+        # interpreted path (siblings doc_containment_pairs/doc_decontaminate
+        # already raise)
+        raise ValueError(f"unknown method {method!r}; use 'arrow' or 'expr'")
     blocked = docs.repartition(_parallelism(docs)).select(
         _ID,
         F.concat_ws(
@@ -381,7 +402,7 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
 
     import numpy as np
 
-    pat = re.compile(r"[^a-zA-Z0-9]+")
+    pat = re.compile(_ASCII_SEP)  # same class as the doc-stats family
     tok_lists = [
         [t for t in pat.split((text or "").lower()) if t] for text in texts
     ]
@@ -664,10 +685,7 @@ LANG_PROFILES: dict[str, list[str]] = {
 def doc_langid(docs: DataFrame) -> DataFrame:
     """Guess language by marker-token hit counts; deterministic tie-break on
     language code. Output: (doc_id, lang_guess, lang_hits)."""
-    toks = F.array_remove(
-        F.array_distinct(F.split(F.lower(F.coalesce("text", F.lit(""))), "[^a-zA-Z0-9]+")),
-        "",
-    )
+    toks = F.array_distinct(_ascii_tokens())
     df = docs.select(_ID, toks.alias("_toks"))
     hit_cols = []
     for code in sorted(LANG_PROFILES):
@@ -697,7 +715,7 @@ def doc_quality(docs: DataFrame) -> DataFrame:
     n = F.length(text)
     alnum_sp = F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
     digits = F.length(F.regexp_replace(text, "[^0-9]", ""))
-    toks = F.array_remove(F.split(F.lower(text), "[^a-zA-Z0-9]+"), "")
+    toks = _ascii_tokens(text)
     n_toks = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     safe_n = F.greatest(n, F.lit(1))
@@ -724,14 +742,16 @@ def doc_quality(docs: DataFrame) -> DataFrame:
 # -- token stats -----------------------------------------------------------
 
 def doc_token_stats(docs: DataFrame) -> DataFrame:
-    toks = F.array_remove(F.split(F.lower(F.coalesce("text", F.lit(""))), "[^a-zA-Z0-9]+"), "")
+    toks = _ascii_tokens()
     return docs.select(
         _ID,
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
-        F.expr(
-            "aggregate(array_remove(split(lower(coalesce(text, '')), '[^a-zA-Z0-9]+'), ''), "
-            "cast(0 as bigint), (acc, t) -> acc + length(t))"
+        # fold over the SAME toks Column — re-deriving the tokenizer in an
+        # F.expr SQL string invites the backslash-eating drift doc_url_stats
+        # documents
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
         ).alias("total_token_chars"),
     )
 
@@ -1059,9 +1079,7 @@ def doc_repetition(docs: DataFrame, method: str = "arrow") -> DataFrame:
     ANSI-reproducible for the DuckDB oracle, but it shuffles one row per
     token + one per bigram of the corpus — never the public default at
     scale. Ratios agree bit-for-bit (same integer counts, one divide)."""
-    toks = F.array_remove(
-        F.split(F.lower(F.coalesce("text", F.lit(""))), "[^a-zA-Z0-9]+"), ""
-    )
+    toks = _ascii_tokens()
     if method == "arrow":
         hashed = docs.repartition(_parallelism(docs)).select(
             _ID, F.transform(toks, lambda t: F.xxhash64(t)).alias("_th")
@@ -1136,9 +1154,7 @@ def doc_passage_stats(
     one) but it moves 24-byte rows, never text. ``method='expr'`` groups on
     the passage STRING (ANSI-reproducible for the DuckDB oracle): the
     exchange then carries the corpus text — oracle-only at scale."""
-    toks = F.array_remove(
-        F.split(F.lower(F.coalesce("text", F.lit(""))), "[^a-zA-Z0-9]+"), ""
-    )
+    toks = _ascii_tokens()
     k = int(passage_tokens)
     payload = (
         f"array_join(slice(_toks, (i - 1) * {k} + 1, {k}), ' ')"
@@ -1205,9 +1221,7 @@ def corpus_top_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     corpus-wide (``src/pipeline/stats.rs``); this is the same global
     frequency rollup at n-gram granularity.
     """
-    toks = F.array_remove(
-        F.split(F.lower(F.coalesce("text", F.lit(""))), "[^a-zA-Z0-9]+"), ""
-    )
+    toks = _ascii_tokens()
     gram_parts = ", ".join(f"element_at(_toks, i + {j})" for j in range(n))
     grams = (
         docs.select(_ID, toks.alias("_toks"))
