@@ -34,6 +34,10 @@ from translink.signatures import with_exact_digest
 CFG = LinkConfig(salt_mode="rank")
 
 TURNS_PER_CONV = 8
+#: canonicalize() caps each turn's cleaned text at cfg.turn_text_cap chars;
+#: the DuckDB canonical CTE must apply the IDENTICAL substr or any turn
+#: past the cap diverges canon_text (and every downstream oracle) at once
+TURN_TEXT_CAP = CFG.turn_text_cap
 EXACT_DUP_MOD = 5      # user_id % 5 == 0 -> planted exact duplicate convs
 NEAR_DUP_MOD = 5       # user_id % 5 == 1 -> planted near duplicate convs
 
@@ -45,7 +49,12 @@ NEAR_DUP_MOD = 5       # user_id % 5 == 1 -> planted near duplicate convs
 
 def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts nulls-first EXPLICITLY: Spark's ascending default is NULLS FIRST
+    # while DuckDB's is NULLS LAST — one NULL ts row would silently shift
+    # every subsequent rn (and so conv_id/turn_idx) between the engines
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), "event_id"
+    )
     turns0 = (
         ev.withColumn("rn", F.row_number().over(w))
         .select(
@@ -98,7 +107,8 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: DuckDB CTEs producing the identical transcripts + canonical tables.
 _TRANSCRIPTS_SQL = f"""
 base AS (
-  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts NULLS FIRST, event_id) AS rn
   FROM events
 ),
 turns0 AS (
@@ -131,7 +141,9 @@ canonical AS (
          CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
          string_agg(regexp_replace(coalesce(role, ''), '[\\x1e\\x1f]', '', 'g')
                       || chr(30)
-                      || regexp_replace(coalesce(text, ''), '[\\x1e\\x1f]', '', 'g'),
+                      || substr(regexp_replace(coalesce(text, ''),
+                                               '[\\x1e\\x1f]', '', 'g'),
+                                1, {TURN_TEXT_CAP}),
                     chr(31) ORDER BY turn_idx) AS canon_text,
          min(ts) AS first_ts,
          max(ts) AS max_ts
@@ -208,12 +220,16 @@ def _spark_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_pairs(pairs, CFG, include_jaro_winkler=False)
 
 
-def _spark_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Attribute-blocked edges + exact star edges -> large-star/small-star
-    CC -> every conversation labeled (the oracle-checkable cluster slice)."""
+def _clusters_from_scored(
+    spark: SparkSession, sf_dir: str, scored: DataFrame
+) -> DataFrame:
+    """Thresholded similarity edges + exact star edges -> large-star/
+    small-star CC -> every conversation labeled. The ONE cluster-assembly
+    definition shared by the clusters query and q_cluster_similarity
+    (which passes a checkpointed scored input so the scoring lineage runs
+    once for both the edges and the per-cluster mean)."""
     from translink.clustering import clusters_with_singletons, connected_components
 
-    scored = _spark_scored_pairs(spark, sf_dir)
     sim_edges = scored.filter(F.col("score") >= CFG.threshold).select(
         F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
     )
@@ -228,6 +244,28 @@ def _spark_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comps = connected_components(sim_edges.union(star), CFG)
     return clusters_with_singletons(c.select("conv_id"), comps)
+
+
+def _spark_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-blocked edges + exact star edges -> CC -> every
+    conversation labeled (the oracle-checkable cluster slice)."""
+    return _clusters_from_scored(
+        spark, sf_dir, _spark_scored_pairs(spark, sf_dir)
+    )
+
+
+def _exact_members(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
+    """digest_md5-keyed exact-cluster membership base — every conversation
+    with its ``cluster_id`` (min conv_id of its digest group) and
+    ``group_size``, plus any carried ``extra`` columns. The ONE definition
+    of the md5 exact-cluster slice that five queries window over."""
+    c = with_exact_digest(_spark_canonical(spark, sf_dir))
+    w = Window.partitionBy("digest_md5")
+    return c.select(
+        "conv_id", *extra, "digest_md5",
+        F.min("conv_id").over(w).alias("cluster_id"),
+        F.count("*").over(w).alias("group_size"),
+    )
 
 
 _SCORE_SQL = f"""
@@ -284,14 +322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- q02: exact-duplicate clusters (A1+A5+C2 hash-and-group) ----------
     def q_exact(spark, sf_dir):
-        c = with_exact_digest(_spark_canonical(spark, sf_dir))
-        w = Window.partitionBy("digest_md5")
         return (
-            c.select(
-                "conv_id",
-                F.min("conv_id").over(w).alias("cluster_id"),
-                F.count("*").over(w).alias("group_size"),
-            )
+            _exact_members(spark, sf_dir)
+            .select("conv_id", "cluster_id", "group_size")
             .filter(F.col("group_size") >= 2)
         )
     q["exact_dup_clusters"] = q_exact
@@ -324,15 +357,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- q06: thresholded edges -------------------------------------------
     def q_edges(spark, sf_dir):
-        return (
-            _spark_scored_pairs(spark, sf_dir)
-            .filter(F.col("score") >= CFG.threshold)
-            .select(
-                F.col("conv_id_a").alias("src"),
-                F.col("conv_id_b").alias("dst"),
-                "score",
-            )
-        )
+        # the library operator IS the query: re-implementing the filter +
+        # rename here would silently diverge from a future edge-semantics
+        # change (e.g. strict vs inclusive threshold)
+        from translink.scoring import edges as _edges
+
+        return _edges(_spark_scored_pairs(spark, sf_dir), CFG)
     q["edges"] = q_edges
 
     # -- q07: connected-component clusters (C1 transitive closure) --------
@@ -344,14 +374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- q08: primary election (C3, O1 recency sort) ----------------------
     def q_primary(spark, sf_dir):
-        c = with_exact_digest(_spark_canonical(spark, sf_dir))
-        w = Window.partitionBy("digest_md5")
         members = (
-            c.select(
-                "conv_id", "max_ts",
-                F.min("conv_id").over(w).alias("cluster_id"),
-                F.count("*").over(w).alias("group_size"),
-            )
+            _exact_members(spark, sf_dir, "max_ts")
+            .select("conv_id", "max_ts", "cluster_id", "group_size")
             .filter(F.col("group_size") >= 2)
         )
         wrank = Window.partitionBy("cluster_id").orderBy(
@@ -365,13 +390,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- q09: cluster report rollups (A7) ---------------------------------
     def q_report(spark, sf_dir):
-        c = with_exact_digest(_spark_canonical(spark, sf_dir))
-        w = Window.partitionBy("digest_md5")
-        members = c.select(
-            "conv_id", "total_chars", "max_ts",
-            F.min("conv_id").over(w).alias("cluster_id"),
-            F.count("*").over(w).alias("group_size"),
-        ).filter(F.col("group_size") >= 2)
+        members = (
+            _exact_members(spark, sf_dir, "total_chars", "max_ts")
+            .select("conv_id", "total_chars", "max_ts",
+                    "cluster_id", "group_size")
+            .filter(F.col("group_size") >= 2)
+        )
         wrank = Window.partitionBy("cluster_id").orderBy(
             F.col("max_ts").desc(), F.col("conv_id").asc()
         )
@@ -400,16 +424,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """The deduplicated dataset: one primary (newest, conv_id tie-break)
         per exact cluster, singletons included — the md5-path mirror of
         translink.report.deduplicate()."""
-        c = with_exact_digest(_spark_canonical(spark, sf_dir))
-        w = Window.partitionBy("digest_md5")
         wrank = Window.partitionBy("digest_md5").orderBy(
             F.col("max_ts").desc(), F.col("conv_id").asc()
         )
         return (
-            c.select(
-                "conv_id",
-                F.min("conv_id").over(w).alias("cluster_id"),
-                F.count("*").over(w).alias("group_size"),
+            _exact_members(spark, sf_dir, "max_ts")
+            .select(
+                "conv_id", "cluster_id", "group_size",
                 F.row_number().over(wrank).alias("rk"),
             )
             .filter(F.col("rk") == 1)
@@ -423,28 +444,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """cluster_report's mean_similarity column over the oracle-checkable
         cluster slice: deterministic sorted-fold mean of intra-cluster
         scored pairs; pure exact clusters -> 1.0."""
-        from translink.clustering import (
-            clusters_with_singletons, connected_components,
-        )
         # scored pairs feed BOTH the cluster edges and the per-cluster mean;
         # checkpoint once instead of recomputing the scoring lineage twice
         scored = _spark_scored_pairs(spark, sf_dir).select(
             "conv_id_a", "conv_id_b", "score"
         ).localCheckpoint(eager=True)
-        sim_edges = scored.filter(F.col("score") >= CFG.threshold).select(
-            F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
-        )
-        c = _spark_canonical(spark, sf_dir)
-        wmd5 = Window.partitionBy(F.md5("canon_text"))
-        star = (
-            c.select(
-                F.min("conv_id").over(wmd5).alias("src"),
-                F.col("conv_id").alias("dst"),
-            )
-            .filter(F.col("src") != F.col("dst"))
-        )
-        comps = connected_components(sim_edges.union(star), CFG)
-        cl = clusters_with_singletons(c.select("conv_id"), comps)
+        cl = _clusters_from_scored(spark, sf_dir, scored)
         sizes = cl.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
         intra = (
             scored
@@ -947,11 +952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- q11: global dedup stats (A8/A9 report arithmetic) ----------------
     def q_stats(spark, sf_dir):
-        c = with_exact_digest(_spark_canonical(spark, sf_dir))
-        w = Window.partitionBy("digest_md5")
-        m = c.select(
-            "conv_id", "total_chars",
-            F.count("*").over(w).alias("group_size"),
+        m = _exact_members(spark, sf_dir, "total_chars").select(
+            "conv_id", "total_chars", "group_size",
             F.row_number().over(
                 Window.partitionBy("digest_md5").orderBy(F.col("conv_id"))
             ).alias("rk"),

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import hashlib
 import os
 import subprocess
 import sys
@@ -181,15 +182,21 @@ def main() -> None:
     args = ap.parse_args()
 
     levels = sorted({int(x) for x in args.levels.split(",")})
-    assert len(levels) >= 2, "need at least two levels"
+    if len(levels) < 2:
+        raise SystemExit("need at least two parallelism levels")
 
     input_path = args.input or ensure_input(
         args.profile, os.path.join(REPO, "BENCH", f"input_{args.profile}")
     )
     if args.variants > 1:
+        # cache key MUST include the source identity: keyed by count alone,
+        # a --profile/--input switch silently reuses the previous corpus
+        # and the written BASELINE.md attributes the numbers to the wrong
+        # profile
+        src_tag = hashlib.md5(input_path.encode()).hexdigest()[:8]
         input_path = prepare_variants(
             input_path, args.variants,
-            f"/dev/shm/translink-input-x{args.variants}",
+            f"/dev/shm/translink-input-x{args.variants}-{src_tag}",
         )
     results = {
         c: run_level(c, input_path, args.repeat, pin=not args.no_pin,
@@ -198,9 +205,13 @@ def main() -> None:
     }
     small, large = results[levels[0]], results[levels[-1]]
     for c, r in results.items():
-        assert r["checksum"] == small["checksum"], (
-            "parallelism changed the answer!", c, r["checksum"], small["checksum"]
-        )
+        # explicit raise, not assert: this is the harness's same-answer-at-
+        # every-parallelism gate and must survive python -O
+        if r["checksum"] != small["checksum"]:
+            raise RuntimeError(
+                f"parallelism changed the answer! local[{c}] checksum "
+                f"{r['checksum']} != local[{levels[0]}] {small['checksum']}"
+            )
     ratio = levels[-1] / levels[0]
     eff = large["rows_per_s"] / (ratio * small["rows_per_s"])
     speedup = large["rows_per_s"] / small["rows_per_s"]

@@ -43,3 +43,49 @@ def test_entry_smoke(spark):
     dups = [c for c in by_id if c.endswith("_dup")]
     assert dups
     assert all(by_id[c] == by_id[c[:-4]] for c in dups)
+
+
+def test_transcript_derivation_parity_on_hostile_events(spark, tmp_path):
+    """Cross-engine parity on inputs the shipped fixtures don't exercise:
+    a turn text LONGER than turn_text_cap (Spark caps per turn; the SQL
+    canonical CTE must apply the identical substr) and an event with NULL
+    ts (Spark windows sort nulls FIRST, DuckDB's default is LAST — the
+    ORDER BY must pin NULLS FIRST or every later rn shifts)."""
+    import datetime as dt
+
+    from translink.canonicalize import canonicalize
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    big = "x" * (entrymod.TURN_TEXT_CAP + 500)
+    for i in range(6):
+        rows.append((7, i * 3, "view", f"p{i}", t0 + dt.timedelta(minutes=i)))
+    rows.append((7, 18, "view", big, t0 + dt.timedelta(minutes=10)))
+    rows.append((7, 21, "view", "after-null", None))  # NULL ts event
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, props string, ts timestamp"
+    )
+    src = str(tmp_path / "hostile")
+    ev.write.mode("overwrite").parquet(f"{src}/events.parquet")
+
+    got = {
+        r["conv_id"]: (r["n_turns"], r["canon_text"])
+        for r in canonicalize(
+            entrymod.derive_transcripts(spark, src), entrymod.CFG
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{src}/events.parquet/*.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            f"WITH {entrymod._TRANSCRIPTS_SQL} "
+            "SELECT conv_id, n_turns, canon_text FROM canonical"
+        ).fetchall()
+    }
+    assert got == want
+    # the cap was actually exercised
+    assert any(len(c) < len(big) and "xxxx" in c for _, c in got.values())

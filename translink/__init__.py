@@ -30,7 +30,7 @@ from translink.evaluate import pairwise_prf
 from translink.pipeline import run_pipeline
 from translink.report import cluster_report, deduplicate, elect_primary
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "LinkConfig", "PROFILES", "load_config", "get_spark", "canonicalize",
