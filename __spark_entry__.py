@@ -779,6 +779,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_char_histogram"] = q_doc_char_histogram
 
+    # -- q26b: corpus-relative character cross-entropy (the LM-quality-
+    #          filter proxy: score each doc under the corpus's own char
+    #          unigram model; the curation analog of KenLM perplexity
+    #          filtering). method='expr' is the ANSI-reproducible oracle
+    #          twin; the public default is the Arrow histogram path
+    #          (doc_char_crossent_fast, pytest-parity). Reads RAW documents
+    #          (no planted dupes): a frequency rollup, not a dedup query. --
+    def q_doc_char_crossent(spark, sf_dir):
+        from translink.histogram import doc_char_crossent
+        return doc_char_crossent(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), method="expr"
+        )
+    q["doc_char_crossent"] = q_doc_char_crossent
+
+    def q_doc_char_crossent_fast(spark, sf_dir):
+        """Arrow scale path: per-doc histograms map-side, alphabet-bounded
+        rows through the exchanges, JVM log2 fold — identical values
+        (parity pytest-asserted); rows-only here by design."""
+        from translink.histogram import doc_char_crossent
+        return doc_char_crossent(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), method="arrow"
+        )
+    q["doc_char_crossent_fast"] = q_doc_char_crossent_fast
+
     # -- q27: statistical-fingerprint pair similarity (H13 blend,
     #          reference calculate_similarity src/pipeline/stats.rs:236-265:
     #          frequency-distribution cosine + entropy closeness). expr
@@ -1783,6 +1807,34 @@ FROM m
     # min-codepoint top_char), so this checks the Arrow kernel DIRECTLY —
     # DuckDB's binary string collation equals codepoint order, matching the
     # kernel's max-count-then-min-codepoint tie-break.
+    o["doc_char_crossent"] = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS txt FROM documents
+),
+chars AS (
+  SELECT doc_id, unnest(string_split_regex(txt, '')) AS ch FROM base
+),
+cc AS (
+  SELECT doc_id, ord(ch) AS cp, CAST(count(*) AS DOUBLE) AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ord(ch)
+),
+g AS (
+  SELECT cp, sum(c) AS n_c FROM cc GROUP BY cp
+),
+tot AS (SELECT sum(n_c) AS n FROM g),
+ent AS (
+  SELECT cc.doc_id,
+         round(log2((SELECT n FROM tot))
+               - list_sum(list_transform(
+                   list(cc.c * log2(g.n_c) ORDER BY cc.cp), x -> x))
+                 / sum(cc.c), 9) AS cross_entropy_bits
+  FROM cc JOIN g USING (cp) GROUP BY cc.doc_id
+)
+SELECT b.doc_id, CAST(length(b.txt) AS BIGINT) AS n_chars,
+       coalesce(e.cross_entropy_bits, 0.0) AS cross_entropy_bits
+FROM base b LEFT JOIN ent e USING (doc_id)
+"""
+
     o["doc_char_histogram"] = """
 WITH base AS (
   SELECT doc_id, coalesce(text, '') AS txt FROM documents

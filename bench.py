@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "doc_simhash_pairs",
     "doc_entropy",
     "doc_entropy_fast",
+    "doc_char_crossent_fast",
     "doc_char_histogram",
     "doc_stat_sim_pairs_fast",
     "doc_decontam_fast",

@@ -171,3 +171,27 @@ def test_entropy_sim_clamped_at_zero(spark):
     r = out[0]
     assert r["entropy_sim"] >= 0.0
     assert 0.0 <= r["stat_sim"] <= 100.0
+
+
+def test_char_crossent_parity_and_semantics(spark):
+    """Arrow and expr methods agree bit-for-bit (JVM log2 fold, same
+    order, round 9); an atypical-alphabet doc scores HIGHER than a doc
+    written in the corpus's dominant characters; empty docs score 0."""
+    from translink.histogram import doc_char_crossent
+
+    rows = [(i, f"plain english text number {i}") for i in range(20)]
+    rows += [(100, "Ã©Ã¨Â¿ mojibake Ã±"),
+             (101, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["cross_entropy_bits"]
+         for r in doc_char_crossent(docs, method="arrow").collect()}
+    e = {r["doc_id"]: r["cross_entropy_bits"]
+         for r in doc_char_crossent(docs, method="expr").collect()}
+    assert a == e
+    assert a[101] == 0.0
+    typical = max(a[i] for i in range(20))
+    assert a[100] > typical  # rare codepoints -> higher surprise
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown method"):
+        doc_char_crossent(docs, method="arow")

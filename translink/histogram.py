@@ -444,3 +444,96 @@ def doc_stat_similarity_pairs(
              + F.col("entropy_sim")) / F.lit(3.0),
         )
     return scored.filter(F.col("stat_sim") >= F.lit(float(threshold)))
+
+
+# -- corpus-relative character cross-entropy (LM-filter proxy) -------------
+
+def doc_char_crossent(docs: DataFrame, method: str = "arrow") -> DataFrame:
+    """Per-document cross-entropy against the CORPUS character
+    distribution — the language-model quality-filter proxy (the standard
+    curation move scores each document under a model of "typical" corpus
+    text and drops the tails; with no LM in the container, the corpus's
+    own character unigram distribution is the model):
+
+        H(doc, corpus) = -sum_c p_doc(c) * log2(P_corpus(c))
+                       = log2(N) - sum_c c_doc(c) * log2(n_corpus(c)) / len
+
+    Low = the document is written in the corpus's typical alphabet; high =
+    atypical bytes (mojibake, binary spill, a script rare in this corpus).
+    Output: (doc_id, n_chars, cross_entropy_bits); empty docs -> 0.0.
+
+    Plan shape at scale: per-document (codepoint, count) rows — bounded by
+    the document's ALPHABET, never its length — flow through one partial-
+    combined aggregation for the global distribution and one sort-merge
+    join back on codepoint; no per-character explode ever crosses an
+    exchange in the 'arrow' method (the per-doc histogram is the map-side
+    Arrow kernel ``doc_char_histogram`` already uses). The corpus total N
+    is ONE bounded driver action (a 1-row aggregate, the same pattern as
+    the CC fixpoint checks) — embedding it as a literal avoids both a
+    broadcast (engine-wide ban) and a single-partition window.
+
+    The log2 fold runs JVM-side in BOTH methods with a deterministic
+    codepoint-ascending order and round(9), the established cross-engine
+    discipline of ``doc_entropy``; the DuckDB oracle mirrors it with
+    ``list(... ORDER BY cp)``.
+    """
+    if method == "arrow":
+        per = doc_char_histogram(docs, method="arrow", include_arrays=True)
+        pairs = (
+            per.select(
+                _ID,
+                F.posexplode(F.arrays_zip("hist_keys", "hist_counts"))
+                .alias("_i", "_kv"),
+            )
+            .select(
+                _ID,
+                F.col("_kv.hist_keys").cast("long").alias("cp"),
+                F.col("_kv.hist_counts").cast("double").alias("c"),
+            )
+        )
+    elif method == "expr":
+        pairs = _char_counts(docs).select(
+            _ID, F.ascii("ch").cast("long").alias("cp"),
+            F.col("c").cast("double").alias("c"),
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}; use 'arrow' or 'expr'")
+
+    g = pairs.groupBy("cp").agg(F.sum("c").alias("n_c"))
+    total = g.agg(F.sum("n_c").alias("n")).first()["n"]
+    if total is None or total == 0:
+        return docs.select(
+            _ID,
+            F.length(F.coalesce("text", F.lit(""))).cast("long").alias("n_chars"),
+            F.lit(0.0).alias("cross_entropy_bits"),
+        )
+    import math
+
+    log2_n = math.log2(float(total))
+    ent = (
+        pairs.join(g, "cp")
+        .select(_ID, F.struct("cp", (F.col("c") * F.log2("n_c")).alias("term")).alias("_t"),
+                "c")
+        .groupBy(_ID)
+        .agg(
+            F.array_sort(F.collect_list("_t")).alias("_tv"),
+            F.sum("c").alias("_len"),
+        )
+        .select(
+            _ID,
+            F.round(
+                F.lit(log2_n)
+                - F.aggregate(
+                    "_tv", F.lit(0.0), lambda a, x: a + x["term"]
+                ) / F.col("_len"),
+                9,
+            ).alias("cross_entropy_bits"),
+        )
+    )
+    lens = docs.select(
+        _ID, F.length(F.coalesce("text", F.lit(""))).cast("long").alias("n_chars")
+    )
+    return lens.join(ent, _ID, "left").select(
+        _ID, "n_chars",
+        F.coalesce("cross_entropy_bits", F.lit(0.0)).alias("cross_entropy_bits"),
+    )
