@@ -100,3 +100,56 @@ def test_sketch_agreement_conservative(spark):
             lanes = (x[:, None] >> (np.uint64(8) * np.arange(8, dtype=np.uint64)))
             sketch_agree = int(((lanes & np.uint64(255)) == 0).sum())
             assert sketch_agree >= exact, (i, j, sketch_agree, exact)
+
+
+def test_tokenizer_tri_engine_agreement(spark):
+    """TOKENIZE_PATTERN must tokenize IDENTICALLY in Python re (the Arrow
+    kernels), Spark's Java-regex split (shingles_expr), and DuckDB's RE2
+    (the oracle's _shingles_sql) — the whole hash-family consistency rests
+    on it. Drives adversarial inputs through all three engines: CJK,
+    emoji (surrogate-pair range), combining marks, control chars, every
+    ASCII separator run, regex metacharacters, and mixed-script text."""
+    import re
+
+    import duckdb
+
+    from translink.signatures import TOKENIZE_PATTERN, tokens_expr
+
+    samples = [
+        "",
+        "plain ascii text",
+        "  \t\n leading and trailing \x00\x07 ",
+        "中文文本没有空格",
+        "mixed 中文 and English words",
+        "emoji 😀😀 clusters 🎉 here",
+        "café naïve résumé",          # combining-free accents
+        "café naïve",      # combining marks
+        "a.b,c;d:e!f?g(h)i[j]k{l}m|n\\o/p~q`r's\"t",
+        "under_scores and-dashes",     # _ and - are separators
+        "digits123mixed456tokens",
+        "ελληνικά κείμενο และ ไทย",
+        "\x7f\x1e\x1f record separators",
+        "regex specials .*+?^$ in text",
+    ]
+    pat = re.compile(TOKENIZE_PATTERN)
+    py = [[t for t in pat.split(s.lower()) if t] for s in samples]
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "i int, canon_text string")
+    got = {r["i"]: list(r["toks"]) for r in df.select(
+        "i", tokens_expr("canon_text").alias("toks")).collect()}
+    # tokens_expr dedups; compare against deduped python (order-preserving)
+    py_dedup = [list(dict.fromkeys(t)) for t in py]
+    for i, want in enumerate(py_dedup):
+        assert got[i] == want, f"spark != python on {samples[i]!r}"
+
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        duck = [
+            t for (t,) in con.execute(
+                "SELECT unnest(list_filter(string_split_regex(lower(?), ?),"
+                " x -> x <> ''))",
+                [s, TOKENIZE_PATTERN],
+            ).fetchall()
+        ]
+        assert duck == py[i], f"duckdb != python on {s!r}"
