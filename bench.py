@@ -81,11 +81,51 @@ def materialize(df) -> tuple[int, int]:
     return int(row["n"]), int(row["checksum"] or 0)
 
 
+def _membw_probe(workers: int = 8, size_mb: int = 96, reps: int = 2) -> float:
+    """~5s STREAM-triad aggregate GB/s at ``workers`` pinned processes.
+
+    Stamped into the bench JSON because this machine is SHARED: its DRAM
+    bandwidth varies ~5x day-to-day (BENCH/BASELINE.md host-health
+    addendum), and every shuffle-heavy query time scales with it — a
+    cross-round BENCH comparison without the day's ceiling number reads
+    code regressions into host weather."""
+    import multiprocessing as mp
+
+    def worker(q, cpu):
+        try:
+            os.sched_setaffinity(0, {cpu})
+        except OSError:
+            pass
+        import numpy as np
+        n = size_mb * 1024 * 1024 // 8
+        a, b, c = np.zeros(n), np.ones(n), np.ones(n)
+        t0 = time.time()
+        for _ in range(reps):
+            a[:] = b + 0.5 * c
+        q.put(3 * 8 * n * reps / (time.time() - t0))
+
+    # fork, not spawn: a nested worker function cannot pickle under
+    # spawn, and the probe runs before the JVM starts
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=worker, args=(q, i)) for i in range(workers)]
+    for p in procs:
+        p.start()
+    vals = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    return round(sum(vals) / 1e9, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)  # 'transfer' etc. contain 'sf'
     sf = float(m.group(1)) if m else -1.0
+    try:
+        membw = _membw_probe()  # before the JVM: quiet machine, clean fork
+    except Exception:
+        membw = -1.0
     spark = get_spark(
         master=f"local[{cpus}]",
         shuffle_partitions=max(32, 2 * cpus),
@@ -108,6 +148,9 @@ def main() -> None:
         "rows": rows,
         "sf": sf,
         "cpus": cpus,
+        # day-of-run DRAM ceiling (GB/s aggregate, 8 pinned workers);
+        # healthy ~2.6, degraded days ~0.5-0.9 — see BENCH/BASELINE.md
+        "membw_8w_gbps": membw,
     }))
 
 
