@@ -499,6 +499,10 @@ def doc_char_crossent(docs: DataFrame, method: str = "arrow") -> DataFrame:
     else:
         raise ValueError(f"unknown method {method!r}; use 'arrow' or 'expr'")
 
+    # pairs feeds BOTH the global distribution and the per-doc join: an
+    # eager local checkpoint materializes the (alphabet-bounded) rows once
+    # so the histogram kernel does not re-run over the corpus per consumer
+    pairs = pairs.localCheckpoint(eager=True)
     g = pairs.groupBy("cp").agg(F.sum("c").alias("n_c"))
     total = g.agg(F.sum("n_c").alias("n")).first()["n"]
     if total is None or total == 0:
