@@ -48,7 +48,13 @@ NEAR_DUP_MOD = 5       # user_id % 5 == 1 -> planted near duplicate convs
 # --------------------------------------------------------------------------
 
 def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # A NULL user_id event cannot be assigned to any conversation — drop it
+    # at the source (entry validation). Without the filter the two engines
+    # DIVERGE: Spark's concat null-propagates (conv_id NULL) while DuckDB's
+    # concat treats NULL as '' (conv_id 'conv__0000').
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id").isNotNull()
+    )
     # ts nulls-first EXPLICITLY: Spark's ascending default is NULLS FIRST
     # while DuckDB's is NULLS LAST — one NULL ts row would silently shift
     # every subsequent rn (and so conv_id/turn_idx) between the engines
@@ -109,7 +115,7 @@ _TRANSCRIPTS_SQL = f"""
 base AS (
   SELECT *, row_number() OVER (PARTITION BY user_id
                                ORDER BY ts NULLS FIRST, event_id) AS rn
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 turns0 AS (
   SELECT
@@ -168,6 +174,21 @@ def _shingles_sql(col: str, n: int = 3) -> str:
         f"THEN [array_to_string({toks}, ' ')] "
         f"ELSE list_transform(generate_series(1, len({toks}) - {n} + 1), "
         f"i -> array_to_string(({toks})[i:i + {n - 1}], ' ')) END), s -> s <> '')"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB twin of translink.ann._cos_expr, guard included: NULL for
+    NULL/ragged/zero-norm operands. Unguarded, DuckDB would silently score
+    ragged pairs with a PARTIAL dot product (list_zip pads with NULL,
+    list_sum skips NULLs) while Spark's fold null-propagates — a planted
+    2-dim vector shifted real neighbors out of the top-k."""
+    dot = f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    na = f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x * x)))"
+    return (
+        f"CASE WHEN len({a}) = len({b}) AND ({na}) * ({nb}) > 0 "
+        f"THEN {dot} / ({na} * {nb}) END"
     )
 
 
@@ -1699,43 +1720,37 @@ SELECT doc_id,
 FROM documents
 """
 
-    o["ann_cosine_topk"] = """
+    o["ann_cosine_topk"] = f"""
 WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 q AS (SELECT * FROM d WHERE vec_id < 200),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]))
-         / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
-          * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cosine
+         {_cos_sql('q.e', 'c.e')} AS cosine
   FROM q JOIN d c ON q.vec_id <> c.vec_id
 )
 SELECT query_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id
-                               ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS "rank",
+                               ORDER BY cosine DESC NULLS LAST, neighbor_id ASC) AS INT) AS "rank",
        cosine
 FROM scored
 QUALIFY "rank" <= 5
 """
 
-    o["emb_dup_pairs"] = """
+    o["emb_dup_pairs"] = f"""
 WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 scored AS (
   SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-         list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
-         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-          * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cosine
+         {_cos_sql('a.e', 'b.e')} AS cosine
   FROM d a JOIN d b ON a.vec_id < b.vec_id
 )
 SELECT vec_id_a, vec_id_b, cosine FROM scored WHERE cosine >= 0.4
 """
 
-    o["emb_dup_clusters"] = """
+    o["emb_dup_clusters"] = f"""
 WITH RECURSIVE d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 scored AS (
   SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-         list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
-         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-          * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cosine
+         {_cos_sql('a.e', 'b.e')} AS cosine
   FROM d a JOIN d b ON a.vec_id < b.vec_id
 ),
 edges AS (
@@ -1754,21 +1769,19 @@ reach(a, b) AS (
 SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a
 """
 
-    o["knn_label_vote"] = """
+    o["knn_label_vote"] = f"""
 WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
 q AS (SELECT * FROM d WHERE vec_id < 200),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
-         list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]))
-         / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
-          * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cosine
+         {_cos_sql('q.e', 'c.e')} AS cosine
   FROM q JOIN d c ON q.vec_id <> c.vec_id
 ),
 topk AS (
   SELECT query_id, neighbor_id, label
   FROM scored
   QUALIFY row_number() OVER (PARTITION BY query_id
-                             ORDER BY cosine DESC, neighbor_id ASC) <= 5
+                             ORDER BY cosine DESC NULLS LAST, neighbor_id ASC) <= 5
 ),
 votes AS (
   SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
@@ -2044,10 +2057,14 @@ FROM t LEFT JOIN per_doc USING (doc_id)
 
     o["event_window_stats"] = window_oracle_sql(10)
 
+    # json_valid guard: Spark's from_json is PERMISSIVE (malformed doc ->
+    # NULL struct) but DuckDB's json_extract_string RAISES on malformed
+    # JSON — one bad props row would crash the oracle, not mismatch it
     o["event_props_stats"] = """
 WITH e AS (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
   FROM events
 )
 SELECT event_type,

@@ -184,3 +184,33 @@ def test_ivf_training_rejects_unusable_sample():
     # AxisError from norm(axis=1)
     with _pytest.raises(ValueError, match="no usable vectors"):
         _train_centroids(np.array([]), n_centroids=2, iters=2, rng=rng)
+
+
+def test_exact_paths_survive_degenerate_vectors(spark):
+    """Degenerate operands (NULL / empty / ragged / paired-with-zero-norm)
+    score NULL cosine — not a DIVIDE_BY_ZERO (ANSI Divide throws on a zero
+    divisor even with a NULL numerator) and not a PARTIAL dot product (the
+    unguarded DuckDB twin summed the overlapping dims of ragged pairs).
+    Degenerate neighbors must rank BELOW every scored neighbor."""
+    from translink.ann import cosine_dup_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, None),             # NULL vector
+        (4, []),               # zero-norm (empty) vector
+        (5, [1.0, 2.0]),       # ragged (wrong dim)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    topk = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=5).collect()
+    got = {r["neighbor_id"]: (r["rank"], r["cosine"]) for r in topk}
+    assert got[1][0] == 1 and got[2][0] == 2          # real neighbors first
+    assert all(got[i][1] is None for i in (3, 4, 5))  # degenerate -> NULL
+    assert all(got[i][0] > 2 for i in (3, 4, 5))      # ...and ranked last
+
+    pairs = cosine_dup_pairs(emb, tau=0.4).collect()  # must not throw
+    ids = {(r["vec_id_a"], r["vec_id_b"]) for r in pairs}
+    assert (0, 1) in ids
+    assert not any(3 in p or 4 in p or 5 in p for p in ids)

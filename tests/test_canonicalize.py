@@ -192,3 +192,23 @@ def test_strip_boilerplate_handles_null_role(spark):
     out = strip_boilerplate(t, min_convs=3)
     assert out.count() == 5
     assert out.filter(out["text"] == "canned preamble").count() == 0
+
+
+def test_null_conv_id_rows_dropped(spark):
+    """Entry validation: a turn row with NULL conv_id belongs to no
+    conversation. Grouping it would mint a NULL-keyed record that the
+    `conv_id_a < conv_id_b` candidate join silently drops and the clusterer
+    cannot key — canonicalize drops the row instead."""
+    rows = [
+        ("c1", 0, "user", "hello", None, None),
+        ("c1", 1, "assistant", "hi", None, None),
+        (None, 0, "user", "orphan turn", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = canonicalize(t).collect()
+    assert [r["conv_id"] for r in got] == ["c1"]
+    assert got[0]["n_turns"] == 2

@@ -48,9 +48,12 @@ def test_entry_smoke(spark):
 def test_transcript_derivation_parity_on_hostile_events(spark, tmp_path):
     """Cross-engine parity on inputs the shipped fixtures don't exercise:
     a turn text LONGER than turn_text_cap (Spark caps per turn; the SQL
-    canonical CTE must apply the identical substr) and an event with NULL
+    canonical CTE must apply the identical substr), an event with NULL
     ts (Spark windows sort nulls FIRST, DuckDB's default is LAST — the
-    ORDER BY must pin NULLS FIRST or every later rn shifts)."""
+    ORDER BY must pin NULLS FIRST or every later rn shifts), and an event
+    with NULL user_id (Spark's concat null-propagates to a NULL conv_id
+    while DuckDB's concat treats NULL as '' — both derivations must DROP
+    the row instead)."""
     import datetime as dt
 
     from translink.canonicalize import canonicalize
@@ -62,6 +65,7 @@ def test_transcript_derivation_parity_on_hostile_events(spark, tmp_path):
         rows.append((7, i * 3, "view", f"p{i}", t0 + dt.timedelta(minutes=i)))
     rows.append((7, 18, "view", big, t0 + dt.timedelta(minutes=10)))
     rows.append((7, 21, "view", "after-null", None))  # NULL ts event
+    rows.append((None, 24, "view", "orphan", t0))  # NULL user_id event
     ev = spark.createDataFrame(
         rows, "user_id long, event_id long, event_type string, props string, ts timestamp"
     )
@@ -89,3 +93,6 @@ def test_transcript_derivation_parity_on_hostile_events(spark, tmp_path):
     assert got == want
     # the cap was actually exercised
     assert any(len(c) < len(big) and "xxxx" in c for _, c in got.values())
+    # the orphan (NULL user_id) event was dropped, not NULL-keyed
+    assert None not in got
+    assert not any("orphan" in c for _, c in got.values())

@@ -47,3 +47,42 @@ def test_parse_json_col_rejects_column_collision(spark):
     # a prefix resolves it
     out = parse_json_col(df, "ts BIGINT", "props", prefix="p_")
     assert out.columns == ["ts", "props", "p_ts"]
+
+
+def test_props_oracle_survives_malformed_json(spark, tmp_path):
+    """The event_props_stats ORACLE must tolerate a malformed props row the
+    way Spark's PERMISSIVE from_json does (k -> NULL): DuckDB's
+    json_extract_string RAISES on invalid JSON, so the SQL twin guards with
+    json_valid. One bad row must mismatch NOTHING — both engines agree."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from scripts.check_oracle import rows_multiset
+
+    rows = [
+        (1, None, 10, "view", 1.0, '{"k": 2}'),
+        (2, None, 10, "view", 1.0, "not json at all"),
+        (3, None, 10, "view", 1.0, None),
+        (4, None, 11, "buy", 1.0, '{"other": true}'),
+        (5, None, 11, "buy", 1.0, '{"k": -5}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{src}/events.parquet")
+
+    sdf = entrymod.queries()["event_props_stats"](spark, src)
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{src}/events.parquet/*.parquet'"
+    )
+    res = con.sql(entrymod.oracle_sql()["event_props_stats"])
+    drows = res.fetchall()
+    assert rows_multiset(srows, sdf.columns) == rows_multiset(drows, res.columns)
+    got = {r[0]: r for r in srows}
+    assert got["view"][2] == 1  # only the valid {"k": 2} row counted

@@ -37,7 +37,15 @@ from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 def _cos_expr(a: str, b: str) -> F.Column:
     """Deterministic cosine similarity between two float-array columns,
-    computed in doubles with a sequential fold."""
+    computed in doubles with a sequential fold.
+
+    NULL (not an error, not a partial value) for degenerate operands: NULL
+    vectors, mismatched dimensionality, or a zero norm. The guard matters
+    twice: ANSI-mode Divide THROWS on a zero divisor even when the numerator
+    is NULL (one empty vector would kill a whole cartesian scoring stage),
+    and unguarded DuckDB twins silently score ragged pairs with a PARTIAL
+    dot product (list_zip pads with NULL, list_sum skips NULLs) — the SQL
+    oracles carry the identical CASE guard."""
     dot = (
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
         f"cast(0.0 as double), (acc, v) -> acc + v)"
@@ -50,7 +58,10 @@ def _cos_expr(a: str, b: str) -> F.Column:
         f"sqrt(aggregate({b}, cast(0.0 as double), "
         f"(acc, v) -> acc + cast(v as double) * cast(v as double)))"
     )
-    return F.expr(f"{dot} / ({na} * {nb})")
+    return F.expr(
+        f"CASE WHEN size({a}) = size({b}) AND ({na}) * ({nb}) > 0 "
+        f"THEN {dot} / ({na} * {nb}) END"
+    )
 
 
 def cosine_topk(
@@ -79,7 +90,7 @@ def cosine_topk(
         .withColumn("cosine", _cos_expr("_qv", "_cv"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
     )
     return (
         scored
@@ -264,7 +275,7 @@ def cosine_topk_lsh(
     # NaN (malformed pair / zero-norm vector) must not outrank real scores —
     # Spark sorts NaN above every double in a descending order-by
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
     )
     return (
         scored
@@ -424,7 +435,7 @@ def cosine_topk_ivf(
         .filter(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
     )
     return (
         scored

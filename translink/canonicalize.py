@@ -75,7 +75,12 @@ def canonicalize(transcripts: DataFrame, cfg: LinkConfig | None = None) -> DataF
     )
 
     out = (
+        # entry validation: a turn row with NULL conv_id belongs to no
+        # conversation — grouping it would mint a NULL-keyed record that
+        # every downstream `conv_id_a < conv_id_b` join silently drops
+        # and the clusterer cannot key. Drop it here, once.
         transcripts
+        .filter(F.col("conv_id").isNotNull())
         .select(
             "conv_id",
             F.col("turn_idx").cast("int").alias("turn_idx"),
