@@ -179,15 +179,24 @@ def _shingles_sql(col: str, n: int = 3) -> str:
 
 def _cos_sql(a: str, b: str) -> str:
     """DuckDB twin of translink.ann._cos_expr, guard included: NULL for
-    NULL/ragged/zero-norm operands. Unguarded, DuckDB would silently score
-    ragged pairs with a PARTIAL dot product (list_zip pads with NULL,
-    list_sum skips NULLs) while Spark's fold null-propagates — a planted
-    2-dim vector shifted real neighbors out of the top-k."""
+    NULL/ragged/NULL-element/zero-norm operands. Unguarded, DuckDB would
+    silently score such pairs with a PARTIAL dot product (list_zip pads
+    ragged pairs with NULL, and list_sum SKIPS NULLs) while Spark's fold
+    null-propagates — a planted 2-dim vector shifted real neighbors out of
+    the top-k. One filter catches every NULL product (ragged pad, NULL
+    element, NULL list → list_zip yields a NULL pair); zero norms fall out
+    of the ``> 0`` comparison (list_sum of an empty list is NULL); the
+    NOT-isnan guard maps NaN/Inf-element cosines to NULL exactly as the
+    Spark side's nanvl does — both engines order NaN above every real
+    double, so an unguarded NaN would win every top-k in both and still
+    hash-mismatch any query that filters on the score."""
     dot = f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
     na = f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
     nb = f"sqrt(list_sum(list_transform({b}, x -> x * x)))"
     return (
-        f"CASE WHEN len({a}) = len({b}) AND ({na}) * ({nb}) > 0 "
+        f"CASE WHEN len(list_filter(list_zip({a}, {b}), "
+        f"p -> p[1] * p[2] IS NULL)) = 0 AND ({na}) * ({nb}) > 0 "
+        f"AND NOT isnan({dot} / ({na} * {nb})) "
         f"THEN {dot} / ({na} * {nb}) END"
     )
 

@@ -72,7 +72,15 @@ COPY (
   ) v(doc_id, text, lang, source, n_chars)
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)
 """)
-    # embeddings: NULL vector, empty vector, wrong-dim vector, NULL label
+    # embeddings: NULL vector, empty vector, wrong-dim vector, NULL label,
+    # and three CORRECT-dimension degenerates — NaN element, Inf element,
+    # all-zero — which ride the exact cosine path (ragged ones exit early).
+    # Both engines order NaN above every real double and pass NaN >= tau,
+    # so an unguarded NaN corpus vector tops EVERY query's top-k; Inf makes
+    # inf/inf = NaN in the divide; zero-norm exercises try_divide's NULL.
+    dim = con.execute(
+        f"SELECT len(embedding) FROM '{src}/embeddings.parquet' LIMIT 1"
+    ).fetchone()[0]
     con.execute(f"""
 COPY (
   SELECT * FROM '{src}/embeddings.parquet'
@@ -80,7 +88,12 @@ COPY (
   SELECT * FROM (VALUES
     (9000001, NULL, 1),
     (9000002, []::FLOAT[], NULL),
-    (9000003, [1.0, 2.0]::FLOAT[], 2)
+    (9000003, [1.0, 2.0]::FLOAT[], 2),
+    (9000004, list_transform(range({dim}), i ->
+        CASE WHEN i = 0 THEN 'nan'::FLOAT ELSE 0.1::FLOAT END)::FLOAT[], 3),
+    (9000005, list_transform(range({dim}), i ->
+        CASE WHEN i = 0 THEN 'inf'::FLOAT ELSE 0.1::FLOAT END)::FLOAT[], 4),
+    (9000006, list_transform(range({dim}), i -> 0.0::FLOAT)::FLOAT[], 5)
   ) v(vec_id, embedding, label)
 ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
 """)

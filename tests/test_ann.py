@@ -198,19 +198,27 @@ def test_exact_paths_survive_degenerate_vectors(spark):
         (0, [1.0, 0.0, 0.0]),
         (1, [1.0, 0.1, 0.0]),
         (2, [0.0, 1.0, 0.0]),
-        (3, None),             # NULL vector
-        (4, []),               # zero-norm (empty) vector
-        (5, [1.0, 2.0]),       # ragged (wrong dim)
+        (3, None),                          # NULL vector
+        (4, []),                            # zero-norm (empty) vector
+        (5, [1.0, 2.0]),                    # ragged (wrong dim)
+        (6, [float("nan"), 0.1, 0.1]),      # NaN element -> NaN fold
+        (7, [float("inf"), 0.1, 0.1]),      # Inf element -> inf/inf = NaN
+        (8, [0.0, 0.0, 0.0]),               # right-dim zero norm
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bad = (3, 4, 5, 6, 7, 8)
 
-    topk = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=5).collect()
+    topk = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=8).collect()
     got = {r["neighbor_id"]: (r["rank"], r["cosine"]) for r in topk}
+    # Spark orders NaN ABOVE every real double: without the nanvl guard the
+    # NaN/Inf neighbors (6, 7) would take ranks 1-2 ahead of real scores
     assert got[1][0] == 1 and got[2][0] == 2          # real neighbors first
-    assert all(got[i][1] is None for i in (3, 4, 5))  # degenerate -> NULL
-    assert all(got[i][0] > 2 for i in (3, 4, 5))      # ...and ranked last
+    assert all(got[i][1] is None for i in bad)        # degenerate -> NULL
+    assert all(got[i][0] > 2 for i in bad)            # ...and ranked last
 
     pairs = cosine_dup_pairs(emb, tau=0.4).collect()  # must not throw
     ids = {(r["vec_id_a"], r["vec_id_b"]) for r in pairs}
     assert (0, 1) in ids
-    assert not any(3 in p or 4 in p or 5 in p for p in ids)
+    # Spark evaluates NaN >= tau as TRUE: unguarded, 6 and 7 would pair
+    # with every vector in the corpus
+    assert not any(a in bad or b in bad for a, b in ids)

@@ -40,12 +40,20 @@ def _cos_expr(a: str, b: str) -> F.Column:
     computed in doubles with a sequential fold.
 
     NULL (not an error, not a partial value) for degenerate operands: NULL
-    vectors, mismatched dimensionality, or a zero norm. The guard matters
-    twice: ANSI-mode Divide THROWS on a zero divisor even when the numerator
-    is NULL (one empty vector would kill a whole cartesian scoring stage),
-    and unguarded DuckDB twins silently score ragged pairs with a PARTIAL
-    dot product (list_zip pads with NULL, list_sum skips NULLs) — the SQL
-    oracles carry the identical CASE guard."""
+    vectors, an element-level NULL, mismatched dimensionality, or a zero
+    norm. try_divide carries most of the contract with no duplicated
+    subexpressions: plain ANSI Divide THROWS on a zero divisor even when
+    the numerator is NULL (one empty vector would kill a whole cartesian
+    scoring stage), while ragged/NULL-element operands already
+    null-propagate through the fold (zip_with pads with NULL, the sum
+    absorbs it). The nanvl wrapper closes the remaining hole: a NaN/Inf
+    ELEMENT makes the fold NaN (try_divide passes NaN through), and Spark
+    orders NaN ABOVE every real double and evaluates ``NaN >= tau`` as
+    true — one NaN vector in the corpus would otherwise top every query's
+    top-k and pass every dup threshold. The DuckDB twins need explicit
+    guards for the same semantics because list_sum SKIPS NULLs (silent
+    PARTIAL dot products on ragged/NULL-element pairs) and NaN compares
+    greater-than-everything there too."""
     dot = (
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
         f"cast(0.0 as double), (acc, v) -> acc + v)"
@@ -59,8 +67,7 @@ def _cos_expr(a: str, b: str) -> F.Column:
         f"(acc, v) -> acc + cast(v as double) * cast(v as double)))"
     )
     return F.expr(
-        f"CASE WHEN size({a}) = size({b}) AND ({na}) * ({nb}) > 0 "
-        f"THEN {dot} / ({na} * {nb}) END"
+        f"nanvl(try_divide({dot}, {na} * {nb}), cast(null as double))"
     )
 
 
@@ -134,7 +141,11 @@ def _make_bucket_kernel(dim: int, n_planes: int, n_tables: int, seed: int = 42):
             # bucket in EVERY table, a planted n^2 hot key (same failure
             # class as the SimHash empty-doc sentinel). Cosine against a
             # zero vector is undefined anyway, so they exit the LSH path.
-            if a.shape == (dim,) and np.any(a):
+            # non-finite vectors exit the same way: a NaN element makes
+            # every hyperplane test sign(NaN >= 0) = False, funneling ALL
+            # NaN vectors into one shared bucket per table — and their
+            # cosine is NaN anyway, filtered after the join
+            if a.shape == (dim,) and np.all(np.isfinite(a)) and np.any(a):
                 arrs.append(a)
                 valid_idx.append(i)
         out = [None] * n
@@ -295,6 +306,11 @@ def _train_centroids(
     # an empty sample reaches the diagnostic below, not numpy's AxisError:
     # np.linalg.norm(np.array([]), axis=1) raises before the n == 0 check
     X = X.reshape(0, 1) if X.size == 0 else X
+    # non-finite rows must not reach normalization: an Inf element passes
+    # the ``norms > 0`` test and then injects NaN (inf/inf) into a training
+    # row, which the mean step smears across a whole centroid
+    X = X[np.isfinite(X).all(axis=1)]
+    X = X.reshape(0, 1) if X.size == 0 else X
     norms = np.linalg.norm(X, axis=1)
     Xn = X[norms > 0] / norms[norms > 0, None]
     n = Xn.shape[0]
@@ -348,14 +364,16 @@ def _make_probe_kernel(centroids: np.ndarray, n_probe: int):
             if v is None:
                 continue
             a = np.asarray(v, dtype=np.float64)
-            if a.shape == (dim,):
+            # zero-norm and non-finite vectors have no direction: they'd
+            # normalize to NaN (0/0, inf/inf) and probe garbage cells —
+            # their cosine is undefined, so they exit the IVF path here
+            if a.shape == (dim,) and np.all(np.isfinite(a)) and np.any(a):
                 arrs.append(a)
                 valid_idx.append(i)
         out = [None] * n  # malformed rows exit the IVF path, not the job
         if arrs:
             X = np.stack(arrs)
             norms = np.linalg.norm(X, axis=1)
-            norms[norms == 0] = 1.0
             sims = (X / norms[:, None]) @ C.T
             # top-p centroid ids, nearest first (stable id tie-break)
             order = np.argsort(-sims, axis=1, kind="stable")[:, :p]
