@@ -997,6 +997,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cosine_dup_clusters(emb, tau=0.4, method="exact")
     q["emb_dup_clusters"] = q_emb_dup_clusters
 
+    def q_emb_semantic_dedup(spark, sf_dir):
+        """SemDeDup-style semantic dedup verdict (Abbas et al. 2023):
+        spherical-k-means cells partition the corpus, near-dup pairs are
+        searched within cells only, components elect the member FARTHEST
+        from its cell centroid as keeper (max diversity). Rows-only —
+        k-means training is iterative (no ANSI twin); tests pin precision
+        1.0 / measured recall vs the exact pair set, one-keeper-per-cluster
+        invariants, and determinism. Demo tau matches emb_dup_pairs (the
+        fixture has no planted near-dups above ~0.51)."""
+        from translink.ann import semantic_dedup_keep
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return semantic_dedup_keep(
+            emb, tau=0.4, dim=64, n_centroids=32, keep_policy="farthest"
+        )
+    q["emb_semantic_dedup"] = q_emb_semantic_dedup
+
     def q_lsh_blocked_clusters(spark, sf_dir):
         """Full engine pipeline (LSH + JW scorer) — the flagship, rows-only
         because MinHash banding + the pandas-UDF scorer have no SQL twin."""

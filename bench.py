@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
     "emb_dup_pairs_lsh",
+    "emb_semantic_dedup",
     "event_exact_dedup",
     "turn_boilerplate",
     "doc_repetition_fast",

@@ -592,6 +592,202 @@ def cosine_dup_clusters(
     )
 
 
+def _make_cell_sim_kernel(centroids: np.ndarray):
+    """Arrow kernel: (nearest centroid id, cosine to it) per vector — the
+    ``n_probe=1`` probe kernel extended with the winning similarity, which
+    the SemDeDup keep policy needs (keep the member FARTHEST from its cell
+    centroid). Same degenerate-vector contract as ``_make_probe_kernel``:
+    NULL struct for null / mis-sized / zero-norm / non-finite rows."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    C = centroids.astype(np.float64)
+    dim = C.shape[1]
+
+    @pandas_udf(StructType([
+        StructField("cell", LongType()),
+        StructField("cent_sim", DoubleType()),
+    ]))
+    def cell_sim_kernel(vecs: pd.Series) -> pd.DataFrame:
+        n = len(vecs)
+        arrs, valid_idx = [], []
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape == (dim,) and np.all(np.isfinite(a)) and np.any(a):
+                arrs.append(a)
+                valid_idx.append(i)
+        cell = np.full(n, np.nan)
+        sim = np.full(n, np.nan)
+        if arrs:
+            X = np.stack(arrs)
+            norms = np.linalg.norm(X, axis=1)
+            sims = (X / norms[:, None]) @ C.T
+            best = np.argmax(sims, axis=1)
+            cell[valid_idx] = best
+            sim[valid_idx] = sims[np.arange(len(arrs)), best]
+        return pd.DataFrame({"cell": pd.array(
+            [None if np.isnan(c) else int(c) for c in cell], dtype="Int64"
+        ), "cent_sim": sim})
+
+    return cell_sim_kernel
+
+
+def assign_ivf_cells(
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_centroids: int = 64,
+    sample_size: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Partition the corpus into spherical-k-means Voronoi cells:
+    (id, vector, cell, cent_sim) with ``cell`` the nearest centroid id and
+    ``cent_sim`` the cosine to it. Degenerate vectors (null / mis-sized /
+    zero-norm / non-finite) get NULL cell — they have no direction to
+    cluster by. One Arrow matmul pass over the corpus; the centroid matrix
+    is baked into the kernel closure (no broadcast variable)."""
+    C = centroids if centroids is not None else train_ivf_centroids(
+        embeddings, dim, n_centroids, sample_size, 10, seed, id_col, vec_col
+    )
+    kern = _make_cell_sim_kernel(C)
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), kern(F.col(vec_col)).alias("_cs")
+    ).select(id_col, vec_col, "_cs.cell", "_cs.cent_sim")
+
+
+def semantic_dup_pairs(
+    embeddings: DataFrame,
+    tau: float = 0.9,
+    dim: int = 64,
+    n_centroids: int = 64,
+    sample_size: int = 4096,
+    seed: int = 42,
+    max_block_size: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-style candidate generation (Abbas et al. 2023, "SemDeDup:
+    data-efficient learning at web-scale through semantic deduplication" —
+    public paper): near-duplicate pairs are searched WITHIN k-means cells
+    only, never across. Exact cosine (Arrow kernel) then applies ``tau``,
+    so precision vs the exact pair set is 1.0 and only boundary pairs
+    (neighbors split across adjacent cells) cost recall — measured against
+    ``cosine_dup_pairs`` in tests.
+
+    Scale shape: one matmul pass assigns cells; the self-join fans out per
+    cell, and cells are salted to ``max_block_size`` with the engine's
+    standard rank/hash salt (a dense cell — e.g. a boilerplate embedding
+    mode — must not go quadratic; the overflow is observable via
+    ``oversized_blocks`` like every other salted block). Grow
+    ``n_centroids ~ sqrt(corpus)`` so expected cell size stays flat.
+    """
+    from translink.blocking import with_salt
+    from translink.config import LinkConfig
+
+    cells = assign_ivf_cells(
+        embeddings, dim, n_centroids, sample_size, seed, id_col, vec_col,
+        centroids,
+    ).filter(F.col("cell").isNotNull())
+    cfg = LinkConfig(max_block_size=max_block_size, salt_mode="hash")
+    salted = with_salt(cells, ["cell"], cfg, id_col=id_col).select(
+        F.col(id_col), F.col(vec_col), "cell", "salt"
+    )
+    a = salted.select(
+        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("_va"),
+        "cell", "salt",
+    )
+    b = salted.select(
+        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("_vb"),
+        "cell", "salt",
+    )
+    return (
+        a.hint("MERGE").join(b, ["cell", "salt"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("cosine", _cosine_kernel(F.col("_va"), F.col("_vb")))
+        .filter(
+            F.col("cosine").isNotNull()
+            & ~F.isnan("cosine")
+            & (F.col("cosine") >= F.lit(float(tau)))
+        )
+        .select("vec_id_a", "vec_id_b", "cosine")
+    )
+
+
+def semantic_dedup_keep(
+    embeddings: DataFrame,
+    tau: float = 0.9,
+    dim: int = 64,
+    n_centroids: int = 64,
+    sample_size: int = 4096,
+    seed: int = 42,
+    max_block_size: int = 256,
+    keep_policy: str = "farthest",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup end-to-end verdict: within-cell threshold pairs resolved
+    into components (the engine's large-star/small-star CC), one keeper
+    elected per component. Returns every corpus id:
+    ``(vec_id, cluster_id, cent_sim, keep)``.
+
+    ``keep_policy``:
+      - ``'farthest'`` (SemDeDup's rule): keep the member with the LOWEST
+        cosine to its cell centroid — of a group of semantic duplicates,
+        the most atypical example preserves the most diversity. Min-id
+        tie-break.
+      - ``'min_id'``: deterministic baseline (matches ``doc_dedup_keep``).
+
+    Vectors that never pair (singletons, plus degenerate vectors with no
+    direction) are their own cluster and always kept.
+
+    The quantizer trains ONCE (one bounded-sample collect); the cell
+    kernel then appears in two plan subtrees (pair generation and the
+    keeper election's cent_sim lookup) — both are map-side matmul passes
+    with no shuffle, so the duplication costs one extra corpus scan, not
+    an exchange; persist the ``assign_ivf_cells`` frame to trade memory
+    for that scan if embeddings are the dominant input.
+    """
+    from translink.clustering import (
+        clusters_with_singletons, connected_components,
+    )
+
+    C = train_ivf_centroids(
+        embeddings, dim, n_centroids, sample_size, 10, seed, id_col, vec_col
+    )
+    cells = assign_ivf_cells(
+        embeddings, dim, n_centroids, sample_size, seed, id_col, vec_col, C
+    )
+    pairs = semantic_dup_pairs(
+        embeddings, tau, dim, n_centroids, sample_size, seed,
+        max_block_size, id_col, vec_col, centroids=C,
+    )
+    edges = pairs.select(
+        F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    labeled = clusters_with_singletons(
+        embeddings.select(F.col(id_col).alias("conv_id")), comp
+    ).select(F.col("conv_id").alias(id_col), "cluster_id")
+    member = labeled.join(cells.select(id_col, "cent_sim"), id_col, "left")
+    if keep_policy == "farthest":
+        order = [F.col("cent_sim").asc_nulls_last(), F.col(id_col).asc()]
+    elif keep_policy == "min_id":
+        order = [F.col(id_col).asc()]
+    else:
+        raise ValueError(
+            f"unknown keep_policy {keep_policy!r} (want 'farthest' or 'min_id')"
+        )
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    return (
+        member.withColumn("keep", F.row_number().over(w) == 1)
+        .select(id_col, "cluster_id", "cent_sim", "keep")
+    )
+
+
 def knn_label_vote(
     embeddings: DataFrame,
     queries: DataFrame,
