@@ -99,6 +99,49 @@ def test_split_conversation_repaired_at_read(spark, tiny, tmp_path):
     assert streamed["n_turns"] == batch["n_turns"]
 
 
+def test_same_batch_duplicate_turn_slot_matches_batch(spark, tiny, tmp_path):
+    """A drop that ships TWO rows for one (conv_id, turn_idx) slot (a
+    malformed-but-real producer case) must read back exactly as a batch run
+    over the same delivery: batch canonicalize keeps BOTH rows (array_sort
+    keeps duplicates), so the store merge must keep every row of the
+    winning batch per slot — not row_number-pick one, which diverged from
+    batch and picked nondeterministically when the duplicates tied on
+    batch id."""
+    landing = str(tmp_path / "landing_dup")
+    store = str(tmp_path / "store_dup")
+    ckpt = str(tmp_path / "ckpt_dup")
+    os.makedirs(landing)
+    t = tiny["transcripts"]
+    victim = "conv_000000"
+    first = t.filter((F.col("conv_id") == victim) & (F.col("turn_idx") < 2))
+    tail = t.filter((F.col("conv_id") == victim) & (F.col("turn_idx") >= 2))
+    dup = tail.filter(F.col("turn_idx") == 2).withColumn(
+        "text", F.lit("DUPLICATE SLOT PAYLOAD")
+    )
+    second = tail.unionByName(dup)
+    first.coalesce(1).write.parquet(os.path.join(landing, "d0"))
+    q = incremental_signatures(
+        spark, os.path.join(landing, "*"), store, ckpt, available_now=True
+    )
+    q.awaitTermination(300)
+    second.coalesce(1).write.parquet(os.path.join(landing, "d1"))
+    q2 = incremental_signatures(
+        spark, os.path.join(landing, "*"), store, ckpt, available_now=True
+    )
+    q2.awaitTermination(300)
+
+    signed = read_signature_store(spark, store)
+    from translink.canonicalize import canonicalize
+    from translink.signatures import with_exact_digest
+
+    batch = with_exact_digest(
+        canonicalize(first.unionByName(second), LinkConfig())
+    ).first()
+    streamed = signed.filter(F.col("conv_id") == victim).first()
+    assert streamed["n_turns"] == batch["n_turns"]  # duplicate row counted
+    assert streamed["digest_md5"] == batch["digest_md5"]
+
+
 def test_replacement_redelivery_drops_deleted_turns(spark, tmp_path):
     """A conversation re-delivered WHOLE with turns removed (redaction) must
     read back as the latest delivery only: merge-only semantics would keep

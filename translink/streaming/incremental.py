@@ -161,13 +161,17 @@ def read_signature_store(
         turns = flagged.filter(
             F.col("_replace").isNull() | (F.col("_batch_id") == F.col("_last_b"))
         ).drop("_last_b", "_replace")
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        F.col("_batch_id").desc()
-    )
+    # latest batch wins per turn SLOT, keeping every row that batch shipped
+    # for the slot: batch canonicalize keeps ALL rows sharing a turn_idx
+    # (array_sort keeps duplicates), so picking one row here (the previous
+    # row_number formulation) would diverge from a batch run over the same
+    # delivery — and nondeterministically when the duplicates tie on
+    # _batch_id but differ in text
+    w = Window.partitionBy("conv_id", "turn_idx")
     merged_turns = (
-        turns.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk", "_batch_id")
+        turns.withColumn("_lb", F.max("_batch_id").over(w))
+        .filter(F.col("_batch_id") == F.col("_lb"))
+        .drop("_lb", "_batch_id")
     )
     repaired = with_minhash(
         with_exact_digest(canonicalize(merged_turns, cfg)), cfg
