@@ -1111,6 +1111,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_source_percentiles"] = q_source_percentiles
 
+    def q_source_profile_sketch(spark, sf_dir):
+        """Sketch twin of the per-source profile: GK quantile sketch +
+        HLL++ distinct — bounded memory per group at any corpus size.
+        Rows-only (sketch internals are engine-specific); pytest pins the
+        quantiles exactly (groups < accuracy degrade GK to a full buffer)
+        and HLL within 3 standard errors of the exact operators."""
+        from translink.textops import doc_source_profile_sketch
+        return doc_source_profile_sketch(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+    q["doc_source_profile_sketch"] = q_source_profile_sketch
+
     # -- fixed-window (tumbling) event-time aggregation ---------------------
     def q_event_windows(spark, sf_dir):
         """Batch twin of translink.streaming.windows.windowed_stream with the

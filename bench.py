@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "doc_source_stats",
     "doc_top_ngrams",
     "doc_source_percentiles",
+    "doc_source_profile_sketch",
     "event_asof_join",
     "event_window_stats",
     "event_rolling_stats",

@@ -466,6 +466,70 @@ def test_source_percentiles_match_numpy_definition(spark):
         assert got[src]["p99_chars"] == exp[0.99]
 
 
+def test_source_profile_sketch_pins_exact_operators(spark):
+    """The sketch profile's correctness pin (it has no SQL oracle): GK
+    quantiles degrade to an exact buffer for groups smaller than
+    ``accuracy`` and must then equal doc_source_percentiles' discrete
+    ceil(p*n) definition bit-for-bit; HLL++ distinct must land within 3
+    standard errors; count/min/max/total are exact aggregates."""
+    from translink.textops import (
+        doc_source_percentiles, doc_source_profile_sketch,
+    )
+
+    rows, i = [], 0
+    for src, ls in {"s0": [5, 1, 9, 3, 7], "s1": list(range(1, 101))}.items():
+        for n in ls:
+            # every third text duplicated -> distinct < count
+            rows.append((i, src, f"t{i % max(2, i // 3 + 1)}", n))
+            i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    )
+    exact = {r["source"]: r.asDict()
+             for r in doc_source_percentiles(docs).collect()}
+    sketch = {r["source"]: r.asDict()
+              for r in doc_source_profile_sketch(docs, rsd=0.02).collect()}
+    true_distinct = {
+        r["source"]: r["d"]
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct("text").alias("d")).collect()
+    }
+    assert set(sketch) == set(exact)
+    for src, e in exact.items():
+        k = sketch[src]
+        assert k["n_docs"] == e["n_docs"]
+        assert k["min_chars"] == e["min_chars"]
+        assert k["max_chars"] == e["max_chars"]
+        for col in ("p50_chars", "p90_chars", "p99_chars"):
+            assert k[col] == e[col], (src, col)
+        td = true_distinct[src]
+        assert abs(k["approx_distinct_texts"] - td) <= max(1, 3 * 0.02 * td)
+
+
+def test_source_profile_sketch_skips_null_rows(spark):
+    """NULL n_chars/text rows feed neither sketch (Spark aggregate
+    semantics) but still count in n_docs; an all-NULL source yields NULL
+    quantiles, not a failure."""
+    from translink.textops import doc_source_profile_sketch
+
+    docs = spark.createDataFrame(
+        [
+            (0, "s", "a", 10),
+            (1, "s", None, None),
+            (2, None, None, None),
+        ],
+        "doc_id long, source string, text string, n_chars long",
+    )
+    got = {r["source"]: r.asDict()
+           for r in doc_source_profile_sketch(docs).collect()}
+    assert got["s"]["n_docs"] == 2
+    assert got["s"]["p50_chars"] == 10
+    assert got["s"]["approx_distinct_texts"] == 1
+    assert got[None]["n_docs"] == 1
+    assert got[None]["p50_chars"] is None
+    assert got[None]["approx_distinct_texts"] == 0
+
+
 def test_curation_verdict_gates(spark):
     from translink.textops import doc_curation_verdict
 

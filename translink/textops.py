@@ -1292,6 +1292,56 @@ def doc_source_percentiles(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_source_profile_sketch(
+    docs: DataFrame,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Sketch-based per-source profile — the bounded-memory twin of
+    ``doc_source_percentiles`` + ``doc_source_stats`` for corpora where
+    even the per-(source, n_chars) histogram is too wide to window over:
+
+    - length quantiles via ``approx_percentile`` (Greenwald-Khanna-style
+      mergeable sketch: each partial aggregate holds O(accuracy) entries
+      regardless of group size, and partials combine map-side, so the
+      exchange carries one sketch per (partition, source) — never values);
+    - distinct-text cardinality via ``approx_count_distinct`` (HLL++,
+      relative error ``rsd``; the exact twin's count-distinct shuffles
+      every digest once).
+
+    The sketch answers are engine-specific, so there is no DuckDB twin
+    (rows-only); pytest pins them against the exact operators — quantiles
+    are EXACT whenever a group is smaller than ``accuracy`` (the GK sketch
+    degrades to a full buffer), and HLL must land within 3 standard
+    errors. NULL ``n_chars``/``text`` rows are skipped by both sketches
+    (Spark aggregate semantics); ``n_docs`` counts every row.
+    """
+    ps = list(percentiles)
+    pcols = [
+        F.element_at(F.col("_q"), i + 1).cast("long")
+        .alias(f"p{int(round(p * 100))}_chars")
+        for i, p in enumerate(ps)
+    ]
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.approx_count_distinct("text", rsd).alias("approx_distinct_texts"),
+            F.percentile_approx(
+                "n_chars", F.array(*[F.lit(p) for p in ps]), F.lit(accuracy)
+            ).alias("_q"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            "source", "n_docs", "approx_distinct_texts", *pcols,
+            "min_chars", "max_chars", "total_chars",
+        )
+    )
+
+
 # -- composite curation verdict (the full keep/drop decision) ----------------
 
 def doc_curation_verdict(
