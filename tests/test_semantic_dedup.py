@@ -154,6 +154,54 @@ def test_degenerate_vectors_are_singleton_keeps(spark, emb):
         assert r["cluster_id"] == vid and r["keep"] and r["cent_sim"] is None
 
 
+def test_recall_at_design_regime_with_planted_near_dups(spark):
+    """The operator's actual regime: tau >= 0.9 over a corpus with real
+    near-duplicate families (noisy copies, cosine ~0.97+ to their base).
+    Families are tight clusters, so k-means puts them in one cell and
+    recall vs the exact cross-join pair set stays high; background
+    vectors are random gaussians and must not merge."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for fam in range(20):
+        base = rng.standard_normal(64)
+        base /= np.linalg.norm(base)
+        for _ in range(4):
+            noisy = base + 0.15 * rng.standard_normal(64) / np.sqrt(64)
+            rows.append((vid, [float(x) for x in noisy], fam))
+            vid += 1
+    for _ in range(100):
+        rows.append((vid, [float(x) for x in rng.standard_normal(64)], -1))
+        vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    exact = _pairset(cosine_dup_pairs(emb, tau=0.9))
+    sem = _pairset(semantic_dup_pairs(emb, tau=0.9, n_centroids=16))
+    assert exact, "planted families must produce exact near-dup pairs"
+    assert sem <= exact
+    recall = len(sem & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} below design floor"
+    # background vectors never pair at tau=0.9
+    bg_ids = {r[0] for r in rows if r[2] == -1}
+    assert not any(a in bg_ids or b in bg_ids for a, b in sem)
+
+    # the verdict keeps exactly one member of every fully-connected family
+    verdict = semantic_dedup_keep(emb, tau=0.9, n_centroids=16)
+    fam_of = {r[0]: r[2] for r in rows if r[2] >= 0}
+    kept = [r for r in verdict.collect() if r["vec_id"] in fam_of and r["keep"]]
+    kept_per_fam = {}
+    for r in kept:
+        kept_per_fam.setdefault(fam_of[r["vec_id"]], 0)
+        kept_per_fam[fam_of[r["vec_id"]]] += 1
+    # every family keeps at least 1; a family collapses to exactly 1
+    # whenever its members form one component (the common case here)
+    assert all(v >= 1 for v in kept_per_fam.values())
+    assert sum(kept_per_fam.values()) <= 20 + 5  # near-total collapse
+
+
 def test_determinism(spark, emb):
     a = sorted(map(tuple, semantic_dedup_keep(emb, tau=TAU, n_centroids=8)
                    .collect()))
