@@ -1215,6 +1215,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["event_asof_join"] = q_event_asof
 
+    # -- two-corpus record linkage (A-vs-B mutual-best matching) ------------
+    def q_link_matches(spark, sf_dir):
+        """Classic record linkage: the base corpus (side A) linked against
+        the planted re-delivery corpus (the ``_dup``/``_nd`` conversations,
+        side B) — blocking salted over the COMBINED population, A×B
+        sort-merge pairs, engine score blend, greedy mutual-best one-to-one
+        resolution (translink/linkage.py). Every matched pair is one entity
+        present in both corpora."""
+        from translink.linkage import (
+            link_candidate_pairs, mutual_best_matches,
+        )
+        from translink.signatures import shingles_expr
+
+        c = _spark_canonical(spark, sf_dir)
+        is_b = (
+            F.col("conv_id").endswith("_dup")
+            | F.col("conv_id").endswith("_nd")
+        )
+
+        def prep(df):
+            return with_block_key(df, CFG).withColumn(
+                "shingles", shingles_expr("canon_text", CFG.shingle_size)
+            )
+
+        pairs = link_candidate_pairs(
+            prep(c.filter(~is_b)), prep(c.filter(is_b)), CFG,
+            payload_cols=["canon_text", "shingles"],
+        )
+        scored = score_pairs(pairs, CFG, include_jaro_winkler=False)
+        return mutual_best_matches(scored, CFG).select(
+            "conv_id_a", "conv_id_b", "token_jaccard", "score"
+        )
+    q["link_matches"] = q_link_matches
+
     return q
 
 
@@ -2362,6 +2396,49 @@ SELECT p.event_id, p.user_id, p.ts,
        v.vid AS view_event_id, v.ts AS view_ts,
        CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+    # Two-corpus linkage: the salt window orders by the side-disambiguated
+    # id (side || '#' || conv_id) exactly as translink.linkage salts the
+    # tagged union, so the A×B pair set — and the sacrificed cross-salt
+    # pairs of oversized blocks — is bit-identical across engines.
+    o["link_matches"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+link_tagged AS (
+  SELECT conv_id, canon_text,
+         CASE WHEN ends_with(conv_id, '_dup') OR ends_with(conv_id, '_nd')
+              THEN 'b' ELSE 'a' END AS side,
+         concat(CAST(n_turns AS VARCHAR), '|',
+                CAST(CAST(floor(total_chars / {CFG.length_bucket}) AS BIGINT) AS VARCHAR)) AS block_key,
+         {_shingles_sql('canon_text')} AS shingles
+  FROM canonical
+),
+link_salted AS (
+  SELECT *,
+         CAST((row_number() OVER (PARTITION BY block_key
+                                  ORDER BY concat(side, '#', conv_id)) - 1)
+              % CAST(ceil(count(*) OVER (PARTITION BY block_key)
+                          / {CFG.max_block_size}.0) AS BIGINT) AS INT) AS salt
+  FROM link_tagged
+),
+cand_pairs AS (
+  SELECT a.conv_id AS conv_id_a, b.conv_id AS conv_id_b,
+         a.canon_text AS canon_text_a, b.canon_text AS canon_text_b,
+         a.shingles AS shingles_a, b.shingles AS shingles_b
+  FROM link_salted a JOIN link_salted b
+    ON a.block_key = b.block_key AND a.salt = b.salt
+   AND a.side < b.side
+),
+{_SCORE_SQL},
+best_a AS (
+  SELECT conv_id_a, conv_id_b, token_jaccard, score
+  FROM scored_final WHERE score >= {CFG.threshold}
+  QUALIFY row_number() OVER (PARTITION BY conv_id_a
+                             ORDER BY score DESC, conv_id_b) = 1
+)
+SELECT conv_id_a, conv_id_b, token_jaccard, score FROM best_a
+QUALIFY row_number() OVER (PARTITION BY conv_id_b
+                           ORDER BY score DESC, conv_id_a) = 1
 """
 
     return o

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "emb_dup_pairs_lsh",
     "emb_semantic_dedup",
     "event_exact_dedup",
+    "link_matches",
     "turn_boilerplate",
     "doc_repetition_fast",
     "doc_passage_stats_fast",

@@ -1,0 +1,174 @@
+"""Two-corpus record linkage (A-vs-B matching, no self-pairs).
+
+The dedup pipeline's self-join answers "which records in THIS corpus are
+the same entity"; classic record linkage asks the cross-corpus version:
+"which record in corpus B is the same entity as this record in corpus A"
+(a re-delivered export vs the warehouse, yesterday's crawl vs today's, two
+vendors' transcript dumps). The reference's grouping machinery
+(``src/pipeline/streaming_hash.rs:132-202``) only ever sees one corpus;
+this module generalizes the same blocking + scoring stack to two, then
+resolves scored pairs to a one-to-one assignment instead of transitive
+clusters.
+
+Scale shape (identical discipline to the dedup path):
+  - both corpora are tagged and unioned, and ONE salt window over the
+    union bounds every block by the COMBINED population — a hot key that
+    is small in A but huge in B is still capped at ``max_block_size``
+    (overflow observable via ``blocking.oversized_blocks`` on the salted
+    union like any other salted table).
+  - the A×B pair join is the same broadcast-free sort-merge self-join as
+    ``candidates.candidate_pairs``: the side tags order ``'a' < 'b'``, so
+    ``a._side < b._side`` plays the role the dedup path's
+    ``conv_id_a < conv_id_b`` plays — a two-sided join predicate that
+    keeps both join subtrees byte-identical (one exchange, reused) while
+    emitting each cross-corpus pair exactly once and no within-corpus
+    pairs at all.
+  - match resolution is two window ranks (greedy mutual-best), never an
+    iterative auction: cost is two shuffles over the THRESHOLDED pair
+    set, which blocking keeps sparse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from translink.blocking import with_block_key, with_salt
+from translink.config import LinkConfig
+from translink.scoring import score_pairs
+
+#: Columns carried to the scorer for each pair side (matches
+#: candidates.PAIR_PAYLOAD so score_pairs composes unchanged).
+LINK_PAYLOAD = ["canon_text", "n_turns", "total_chars"]
+
+
+def link_candidate_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    cfg: LinkConfig | None = None,
+    payload_cols: list[str] | None = None,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """A×B candidate pairs across two blocked corpora.
+
+    Inputs carry ``id_col``, ``block_key`` and the payload columns (i.e.
+    the output of ``with_block_key`` over each side — NOT yet salted: the
+    salt must be computed over the union, see module docstring). Ids may
+    collide across corpora — the salt's deterministic ordering key is
+    ``side#id``, total even when the same id appears on both sides.
+
+    Output: one row per (A-record, B-record) sharing ``(block_key,
+    salt)``: ``{id}_a, {id}_b, block_key, salt`` plus ``{col}_a/{col}_b``
+    for each payload column. Pairs split across salt sub-blocks of an
+    oversized block are sacrificed — the engine's standard bounded-skew
+    trade, same contract as the dedup self-join.
+    """
+    cfg = cfg or LinkConfig()
+    payload_cols = payload_cols if payload_cols is not None else LINK_PAYLOAD
+    keep = [id_col, "block_key", *payload_cols]
+    tagged = (
+        a.select(*keep).withColumn("_side", F.lit("a"))
+        .unionByName(b.select(*keep).withColumn("_side", F.lit("b")))
+        .withColumn("_sid", F.concat_ws("#", "_side", id_col))
+    )
+    salted = with_salt(tagged, ["block_key"], cfg, id_col="_sid")
+    joined = (
+        salted.alias("a")
+        .hint("MERGE")
+        .join(
+            salted.alias("b"),
+            on=[
+                F.col("a.block_key") == F.col("b.block_key"),
+                F.col("a.salt") == F.col("b.salt"),
+                # two-sided predicate (not pushable to either input), so
+                # both join subtrees stay identical -> one exchange,
+                # reused; emits exactly the A-side x B-side cross pairs
+                F.col("a._side") < F.col("b._side"),
+            ],
+        )
+    )
+    cols = [
+        F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+        F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+        F.col("a.block_key").alias("block_key"),
+        F.col("a.salt").alias("salt"),
+    ]
+    for c in payload_cols:
+        cols.append(F.col(f"a.{c}").alias(f"{c}_a"))
+        cols.append(F.col(f"b.{c}").alias(f"{c}_b"))
+    return joined.select(*cols)
+
+
+def mutual_best_matches(
+    scored: DataFrame,
+    cfg: LinkConfig | None = None,
+    threshold: float | None = None,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Resolve scored cross-corpus pairs to a one-to-one match set.
+
+    Greedy mutual-best in two deterministic window ranks: (1) each A
+    record keeps only its best-scoring B candidate (ties -> smallest B
+    id); (2) each B record keeps only its best surviving A suitor (ties
+    -> smallest A id). Every A and every B appears at most once in the
+    result. This is the standard greedy approximation of optimal
+    one-to-one assignment — linear in the pair set, no iterative
+    auction/Hungarian pass, and exactly reproducible in ANSI SQL (two
+    ``row_number`` QUALIFYs), which an iterative assignment is not.
+
+    Pairs below ``threshold`` (default ``cfg.threshold``) never match.
+    """
+    cfg = cfg or LinkConfig()
+    thr = cfg.threshold if threshold is None else threshold
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    cand = scored.filter(F.col("score") >= F.lit(float(thr)))
+    wa = Window.partitionBy(a).orderBy(F.col("score").desc(), F.col(b).asc())
+    best_a = (
+        cand.withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    wb = Window.partitionBy(b).orderBy(F.col("score").desc(), F.col(a).asc())
+    return (
+        best_a.withColumn("_rk", F.row_number().over(wb))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def link_tables(
+    a_turns: DataFrame,
+    b_turns: DataFrame,
+    cfg: LinkConfig | None = None,
+    include_jaro_winkler: bool = True,
+    threshold: float | None = None,
+) -> DataFrame:
+    """End-to-end linkage of two raw transcript corpora.
+
+    Canonicalize each side (same stable turn ordering as the dedup
+    pipeline), block on the shared attribute key, shingle once per record
+    (O(n), never O(pairs)), generate salted A×B candidates, score with
+    the engine's blend (exact-text fast path included), and resolve to
+    one-to-one matches. Returns ``(conv_id_a, conv_id_b, token_jaccard,
+    levenshtein_sim, score)`` — one row per matched entity.
+    """
+    from translink.canonicalize import canonicalize
+    from translink.signatures import shingles_expr
+
+    cfg = cfg or LinkConfig()
+
+    def prep(turns: DataFrame) -> DataFrame:
+        c = with_block_key(canonicalize(turns, cfg), cfg)
+        return c.withColumn(
+            "shingles", shingles_expr("canon_text", cfg.shingle_size)
+        )
+
+    pairs = link_candidate_pairs(
+        prep(a_turns), prep(b_turns), cfg,
+        payload_cols=["canon_text", "shingles"],
+    )
+    scored = score_pairs(
+        pairs, cfg, include_jaro_winkler=include_jaro_winkler
+    )
+    keep = ["conv_id_a", "conv_id_b", "token_jaccard", "levenshtein_sim",
+            "score"]
+    return mutual_best_matches(scored, cfg, threshold).select(*keep)
