@@ -298,6 +298,42 @@ def _exact_members(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
     )
 
 
+#: Two-corpus linkage CTEs (A = base conversations, B = the planted
+#: ``_dup``/``_nd`` re-delivery corpus): blocking salted over the COMBINED
+#: population with the side-disambiguated ordering key, then A×B cross
+#: pairs only — the DuckDB twin of translink.linkage.link_candidate_pairs.
+#: cand_pairs carries the numeric payloads so both the heuristic blend
+#: (_SCORE_SQL) and the Fellegi–Sunter comparison vectors compose on top.
+_LINK_SQL = f"""
+link_tagged AS (
+  SELECT conv_id, canon_text, n_turns, total_chars,
+         CASE WHEN ends_with(conv_id, '_dup') OR ends_with(conv_id, '_nd')
+              THEN 'b' ELSE 'a' END AS side,
+         concat(CAST(n_turns AS VARCHAR), '|',
+                CAST(CAST(floor(total_chars / {CFG.length_bucket}) AS BIGINT) AS VARCHAR)) AS block_key,
+         {_shingles_sql('canon_text')} AS shingles
+  FROM canonical
+),
+link_salted AS (
+  SELECT *,
+         CAST((row_number() OVER (PARTITION BY block_key
+                                  ORDER BY concat(side, '#', conv_id)) - 1)
+              % CAST(ceil(count(*) OVER (PARTITION BY block_key)
+                          / {CFG.max_block_size}.0) AS BIGINT) AS INT) AS salt
+  FROM link_tagged
+),
+cand_pairs AS (
+  SELECT a.conv_id AS conv_id_a, b.conv_id AS conv_id_b,
+         a.canon_text AS canon_text_a, b.canon_text AS canon_text_b,
+         a.shingles AS shingles_a, b.shingles AS shingles_b,
+         a.n_turns AS n_turns_a, b.n_turns AS n_turns_b,
+         a.total_chars AS total_chars_a, b.total_chars AS total_chars_b
+  FROM link_salted a JOIN link_salted b
+    ON a.block_key = b.block_key AND a.salt = b.salt
+   AND a.side < b.side
+)
+"""
+
 _SCORE_SQL = f"""
 scored AS (
   SELECT conv_id_a, conv_id_b,
@@ -1248,6 +1284,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "conv_id_a", "conv_id_b", "token_jaccard", "score"
         )
     q["link_matches"] = q_link_matches
+
+    def _link_scored_with_payload(spark, sf_dir):
+        """Shared A×B scored-pair base for the Fellegi–Sunter queries:
+        same candidate generation as link_matches, numeric payloads
+        carried for the comparison vectors."""
+        from translink.linkage import link_candidate_pairs
+        from translink.signatures import shingles_expr
+
+        c = _spark_canonical(spark, sf_dir)
+        is_b = (
+            F.col("conv_id").endswith("_dup")
+            | F.col("conv_id").endswith("_nd")
+        )
+
+        def prep(df):
+            return with_block_key(df, CFG).withColumn(
+                "shingles", shingles_expr("canon_text", CFG.shingle_size)
+            )
+
+        pairs = link_candidate_pairs(
+            prep(c.filter(~is_b)), prep(c.filter(is_b)), CFG,
+            payload_cols=["canon_text", "shingles", "n_turns",
+                          "total_chars"],
+        )
+        return score_pairs(pairs, CFG, include_jaro_winkler=False)
+
+    # -- Fellegi–Sunter match weights (fixed params — the auditable,
+    #    ANSI-reproducible lane; weights are Python-computed literals) ------
+    def q_link_fs_scores(spark, sf_dir):
+        from translink.fellegi_sunter import (
+            comparison_vectors, fs_weight_expr,
+        )
+
+        g = comparison_vectors(_link_scored_with_payload(spark, sf_dir), CFG)
+        return g.withColumn("match_weight", fs_weight_expr()).select(
+            "conv_id_a", "conv_id_b", "g_jac", "g_lev", "g_turns", "g_len",
+            "match_weight",
+        )
+    q["link_fs_scores"] = q_link_fs_scores
+
+    # -- Fellegi–Sunter EM linkage (unsupervised m/u/λ fit; the EM loop is
+    #    driver arithmetic over ≤36 pattern counts — rows-only: iterative
+    #    estimation has no ANSI twin; pinned by tests/test_fellegi_sunter) --
+    def q_link_fs_matches(spark, sf_dir):
+        from translink.fellegi_sunter import (
+            comparison_vectors, fs_em_fit, fs_score,
+        )
+        from translink.linkage import mutual_best_matches
+
+        # the gamma frame feeds TWO consumers (the EM pattern aggregate and
+        # the posterior scoring) — checkpoint so the candidate-generation
+        # lineage runs once, the same discipline as q_cluster_similarity
+        g = comparison_vectors(
+            _link_scored_with_payload(spark, sf_dir), CFG
+        ).localCheckpoint()
+        params = fs_em_fit(g)
+        probd = fs_score(g, params).withColumn("score", F.col("match_prob"))
+        return mutual_best_matches(probd, CFG, threshold=0.95).select(
+            "conv_id_a", "conv_id_b", "match_weight", "match_prob"
+        )
+    q["link_fs_matches"] = q_link_fs_matches
 
     return q
 
@@ -2404,31 +2501,7 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
     # pairs of oversized blocks — is bit-identical across engines.
     o["link_matches"] = f"""
 WITH {_TRANSCRIPTS_SQL},
-link_tagged AS (
-  SELECT conv_id, canon_text,
-         CASE WHEN ends_with(conv_id, '_dup') OR ends_with(conv_id, '_nd')
-              THEN 'b' ELSE 'a' END AS side,
-         concat(CAST(n_turns AS VARCHAR), '|',
-                CAST(CAST(floor(total_chars / {CFG.length_bucket}) AS BIGINT) AS VARCHAR)) AS block_key,
-         {_shingles_sql('canon_text')} AS shingles
-  FROM canonical
-),
-link_salted AS (
-  SELECT *,
-         CAST((row_number() OVER (PARTITION BY block_key
-                                  ORDER BY concat(side, '#', conv_id)) - 1)
-              % CAST(ceil(count(*) OVER (PARTITION BY block_key)
-                          / {CFG.max_block_size}.0) AS BIGINT) AS INT) AS salt
-  FROM link_tagged
-),
-cand_pairs AS (
-  SELECT a.conv_id AS conv_id_a, b.conv_id AS conv_id_b,
-         a.canon_text AS canon_text_a, b.canon_text AS canon_text_b,
-         a.shingles AS shingles_a, b.shingles AS shingles_b
-  FROM link_salted a JOIN link_salted b
-    ON a.block_key = b.block_key AND a.salt = b.salt
-   AND a.side < b.side
-),
+{_LINK_SQL},
 {_SCORE_SQL},
 best_a AS (
   SELECT conv_id_a, conv_id_b, token_jaccard, score
@@ -2439,6 +2512,44 @@ best_a AS (
 SELECT conv_id_a, conv_id_b, token_jaccard, score FROM best_a
 QUALIFY row_number() OVER (PARTITION BY conv_id_b
                            ORDER BY score DESC, conv_id_a) = 1
+"""
+
+    # Fellegi–Sunter match weights: the per-level log2(m/u) weights are
+    # computed ONCE in Python (translink.fellegi_sunter.FSParams.weights)
+    # and embedded as identical double literals in both engines, summed in
+    # the same left-to-right field order — no runtime log/pow enters the
+    # comparison. CAST AS DOUBLE defends against DuckDB parsing bare
+    # decimal literals as DECIMAL.
+    from translink.fellegi_sunter import FIELDS as _FS_FIELDS, FSParams
+
+    _fs_w = FSParams().weights()
+    _fs_weight_sql = " + ".join(
+        "(CASE "
+        + " ".join(
+            f"WHEN {k} = {lvl} THEN CAST({_fs_w[k][lvl]!r} AS DOUBLE)"
+            for lvl in range(n)
+        )
+        + " END)"
+        for k, n in _FS_FIELDS.items()
+    )
+    o["link_fs_scores"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+{_LINK_SQL},
+{_SCORE_SQL},
+gammas AS (
+  SELECT conv_id_a, conv_id_b,
+         CASE WHEN s.token_jaccard >= 0.9 THEN 2
+              WHEN s.token_jaccard >= 0.5 THEN 1 ELSE 0 END AS g_jac,
+         CASE WHEN s.levenshtein_sim >= 0.9 THEN 2
+              WHEN s.levenshtein_sim >= 0.7 THEN 1 ELSE 0 END AS g_lev,
+         CASE WHEN p.n_turns_a = p.n_turns_b THEN 1 ELSE 0 END AS g_turns,
+         CASE WHEN abs(p.total_chars_a - p.total_chars_b)
+                   <= {CFG.length_bucket} THEN 1 ELSE 0 END AS g_len
+  FROM scored s JOIN cand_pairs p USING (conv_id_a, conv_id_b)
+)
+SELECT conv_id_a, conv_id_b, g_jac, g_lev, g_turns, g_len,
+       {_fs_weight_sql} AS match_weight
+FROM gammas
 """
 
     return o

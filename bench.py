@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "emb_semantic_dedup",
     "event_exact_dedup",
     "link_matches",
+    "link_fs_scores",
     "turn_boilerplate",
     "doc_repetition_fast",
     "doc_passage_stats_fast",

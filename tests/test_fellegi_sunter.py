@@ -1,0 +1,141 @@
+"""Fellegi–Sunter probabilistic linkage: weights, banding, EM, end-to-end.
+
+Pins: hand-computed log2(m/u) weights, comparison-vector banding edges,
+posterior monotonicity, unsupervised EM recovering the planted match rate
+and separating planted matches from in-block non-matches (deterministically),
+and fs_link_tables returning exactly the planted A-B correspondence.
+"""
+
+import math
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from translink.config import LinkConfig
+from translink.fellegi_sunter import (
+    DEFAULT_LAMBDA, DEFAULT_M, DEFAULT_U, FIELDS, FSParams,
+    comparison_vectors, fs_em_fit, fs_link_tables, fs_pattern_counts,
+    fs_score,
+)
+
+TS = datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _token_text(i: int) -> str:
+    """8 fixed-width tokens from record-disjoint vocabularies: identical
+    length for every i (one blocking bucket), zero shared tokens."""
+    return " ".join(f"t{i:04d}x{j}" for j in range(8))
+
+
+def _turns(spark, convs):
+    rows = [
+        (cid, 0, "user", text, None, TS) for cid, text in convs.items()
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    )
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """30 A-records × 30 B-records in one block; b00..b14 are exact copies
+    of a00..a14 (planted matches), the rest pairwise disjoint."""
+    a = _turns(spark, {f"a{i:02d}": _token_text(i) for i in range(30)})
+    b = _turns(spark, {
+        **{f"b{i:02d}": _token_text(i) for i in range(15)},
+        **{f"b{i:02d}": _token_text(i + 100) for i in range(15, 30)},
+    })
+    return a, b
+
+
+def test_weights_hand_computed():
+    w = FSParams().weights()
+    assert w["g_turns"][1] == pytest.approx(math.log2(0.95 / 0.40))
+    assert w["g_jac"][0] == pytest.approx(math.log2(0.02 / 0.90))
+    # agreement weighs positive, disagreement negative, for every field
+    for k in FIELDS:
+        assert w[k][-1] > 0 > w[k][0]
+
+
+def test_comparison_vector_banding(spark):
+    rows = [
+        # tj, lev, n_a, n_b, len_a, len_b -> expected (g_jac,g_lev,g_turns,g_len)
+        (0.95, 0.95, 3, 3, 100, 100, (2, 2, 1, 1)),
+        (0.90, 0.70, 3, 4, 100, 116, (2, 1, 0, 1)),   # boundary: >= is in-band
+        (0.50, 0.69, 2, 2, 100, 117, (1, 0, 1, 0)),
+        (0.49, 0.89, 2, 2, 100, 100, (0, 1, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        [r[:6] for r in rows],
+        "token_jaccard double, levenshtein_sim double, n_turns_a int, "
+        "n_turns_b int, total_chars_a int, total_chars_b int",
+    )
+    got = comparison_vectors(df, LinkConfig()).collect()
+    for r, (_, _, _, _, _, _, want) in zip(got, rows):
+        assert (r.g_jac, r.g_lev, r.g_turns, r.g_len) == want
+
+
+def test_posterior_monotone_and_extreme():
+    import pandas as pd
+    from translink.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    all_agree = {"g_jac": 2, "g_lev": 2, "g_turns": 1, "g_len": 1}
+    none_agree = {"g_jac": 0, "g_lev": 0, "g_turns": 0, "g_len": 0}
+    df = spark.createDataFrame(pd.DataFrame([all_agree, none_agree]))
+    got = {r.g_jac: r for r in fs_score(df).collect()}
+    assert got[2].match_prob > 0.99
+    assert got[0].match_prob < 0.01
+    assert got[2].match_weight > 0 > got[0].match_weight
+
+
+def test_em_recovers_planted_match_rate(spark, planted):
+    from translink.blocking import with_block_key
+    from translink.canonicalize import canonicalize
+    from translink.linkage import link_candidate_pairs
+    from translink.scoring import score_pairs
+    from translink.signatures import shingles_expr
+
+    cfg = LinkConfig(salt_mode="rank")
+    a, b = planted
+
+    def prep(t):
+        c = with_block_key(canonicalize(t, cfg), cfg)
+        return c.withColumn("shingles",
+                            shingles_expr("canon_text", cfg.shingle_size))
+
+    pairs = link_candidate_pairs(
+        prep(a), prep(b), cfg,
+        payload_cols=["canon_text", "shingles", "n_turns", "total_chars"],
+    )
+    g = comparison_vectors(score_pairs(pairs, cfg), cfg).localCheckpoint()
+    # one block of 30+30 -> 900 A×B pairs, 15 of them planted matches
+    assert sum(n for _, n in fs_pattern_counts(g)) == 900
+    params = fs_em_fit(g)
+    assert params.lam == pytest.approx(15 / 900, rel=0.25)
+    # m favors full agreement; u favors full disagreement, for the
+    # informative fields (g_len is constant within a block — uninformative)
+    assert params.m["g_jac"][2] > 0.9 and params.u["g_jac"][0] > 0.9
+    scored = fs_score(g, params)
+    match_probs = scored.filter(
+        F.col("conv_id_a").substr(2, 2) == F.col("conv_id_b").substr(2, 2)
+    ).filter(F.col("g_jac") == 2)
+    assert match_probs.count() == 15
+    assert match_probs.agg(F.min("match_prob")).first()[0] > 0.95
+    non_match = scored.filter(F.col("g_jac") == 0)
+    assert non_match.agg(F.max("match_prob")).first()[0] < 0.05
+    # determinism: a second fit over the same frame is bit-identical
+    params2 = fs_em_fit(g)
+    assert params2.m == params.m and params2.u == params.u
+    assert params2.lam == params.lam
+
+
+def test_fs_link_tables_end_to_end(spark, planted):
+    a, b = planted
+    got = fs_link_tables(a, b, LinkConfig(salt_mode="rank")).collect()
+    assert {(r.conv_id_a, r.conv_id_b) for r in got} == {
+        (f"a{i:02d}", f"b{i:02d}") for i in range(15)
+    }
+    assert all(r.match_prob >= 0.95 and r.match_weight > 0 for r in got)
