@@ -1346,7 +1346,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["link_fs_matches"] = q_link_fs_matches
 
-    return q
+    # Driver-coverage ordering: the correctness harness sweeps queries in
+    # registration order and round 3 showed it stops near ~50 entries, so
+    # the queries that have never received a CORRECTNESS_r{n}.json entry
+    # (registered late in rounds 2-3) move to the FRONT of the registry;
+    # the long-green round-1/2 set follows in its original order. Pure
+    # reordering — every (name, callable) pair is unchanged.
+    never_checked = [
+        "link_matches", "link_fs_scores", "link_fs_matches",
+        "emb_dup_pairs", "emb_dup_clusters", "emb_semantic_dedup",
+        "pipeline_clusters_full", "dedup_stats",
+        "doc_sample_frac", "doc_sample_stratified",
+        "doc_source_percentiles", "doc_source_profile_sketch",
+        "doc_top_ngrams", "doc_curation_verdict",
+        "doc_repetition", "doc_repetition_fast",
+        "doc_passage_stats", "doc_passage_stats_fast",
+        "doc_lang_source_matrix", "doc_source_lang_rollup",
+        "event_window_stats", "event_rolling_stats",
+        "event_asof_join", "event_interval_join",
+    ]
+    assert set(never_checked) <= set(q), sorted(set(never_checked) - set(q))
+    return {name: q[name] for name in never_checked} | {
+        name: fn for name, fn in q.items() if name not in never_checked
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -144,18 +144,39 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         rows[name] = n
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "translink_headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "rows": rows,
         "sf": sf,
         "cpus": cpus,
         # day-of-run DRAM ceiling (GB/s aggregate, 8 pinned workers);
         # healthy ~2.6, degraded days ~0.5-0.9 — see BENCH/BASELINE.md
         "membw_8w_gbps": membw,
-    }))
+    }
+    # Durable machine-readable copy FIRST (BENCH_r03.json came back with
+    # "parsed": null because the driver's stdout tail-capture truncated the
+    # one fat line): the full payload (incl. per-query row counts) lands in
+    # BENCH/HEADLINE_r{n}.json, and the stdout contract line stays slim —
+    # no "rows" dict, separators without whitespace.
+    try:
+        import glob
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        n_round = max(rounds, default=0) + 1
+        os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+        payload = dict(result, rows=rows)
+        for fname in (f"HEADLINE_r{n_round:02d}.json", "HEADLINE_latest.json"):
+            with open(os.path.join(here, "BENCH", fname), "w") as f:
+                json.dump(payload, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout line is still the contract
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":
