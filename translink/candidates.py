@@ -34,10 +34,23 @@ def candidate_pairs(
 
     Input must already carry ``block_key`` and ``salt``.
     """
+    cfg = cfg or LinkConfig()
     payload_cols = payload_cols if payload_cols is not None else PAIR_PAYLOAD
     keep = ["conv_id", "block_key", "salt", *payload_cols]
-    left = blocked.select(*keep)
-    right = blocked.select(*keep)
+    # Pin the self-join's partition count. AQE sizes reducer partitions by
+    # INPUT bytes, but a blocked self-join fans out ~max_block_size× per
+    # input row and the real cost sits in the per-pair projection downstream
+    # (Levenshtein/Jaccard/JW) — byte-based coalescing starves that
+    # projection of cores (measured at sf0.1: AQE coalesced the 4.3 MiB join
+    # inputs to 2 partitions and a levenshtein pass over the 566k-pair
+    # fan-out ran 98 s on a 32-core session; pinned it runs on all cores).
+    # An explicit numPartitions marks the exchange user-specified, which AQE
+    # coalescing leaves alone; the join reuses this exact partitioning
+    # (ClusteredDistribution on the equi-keys), so no second exchange.
+    left = blocked.select(*keep).repartition(
+        cfg.shuffle_partitions, "block_key", "salt"
+    )
+    right = left
     joined = (
         left.alias("a")
         .hint("MERGE")
@@ -82,7 +95,10 @@ def lsh_candidate_pairs(
     payload_cols = payload_cols if payload_cols is not None else PAIR_PAYLOAD
 
     salted = with_salt(band_keys, ["band_id", "band_hash"], cfg)
-    left = salted.select("conv_id", "band_id", "band_hash", "salt")
+    # same fan-out-aware pinning as candidate_pairs (see comment there)
+    left = salted.select("conv_id", "band_id", "band_hash", "salt").repartition(
+        cfg.shuffle_partitions, "band_id", "band_hash", "salt"
+    )
     pairs = (
         left.alias("a")
         .hint("MERGE")

@@ -70,7 +70,10 @@ def link_candidate_pairs(
         .unionByName(b.select(*keep).withColumn("_side", F.lit("b")))
         .withColumn("_sid", F.concat_ws("#", "_side", id_col))
     )
-    salted = with_salt(tagged, ["block_key"], cfg, id_col="_sid")
+    salted = with_salt(tagged, ["block_key"], cfg, id_col="_sid").repartition(
+        # fan-out-aware partition pinning — see candidates.candidate_pairs
+        cfg.shuffle_partitions, "block_key", "salt"
+    )
     joined = (
         salted.alias("a")
         .hint("MERGE")
