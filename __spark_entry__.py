@@ -17,6 +17,7 @@ over text equality), while LSH/SimHash queries are exposed rows-only.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -1305,8 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         pairs = link_candidate_pairs(
             prep(c.filter(~is_b)), prep(c.filter(is_b)), CFG,
-            payload_cols=["canon_text", "shingles", "n_turns",
-                          "total_chars"],
+            payload_cols=["canon_text", "shingles", "total_chars"],
         )
         return score_pairs(pairs, CFG, include_jaro_winkler=False)
 
@@ -1319,17 +1319,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         g = comparison_vectors(_link_scored_with_payload(spark, sf_dir), CFG)
         return g.withColumn("match_weight", fs_weight_expr()).select(
-            "conv_id_a", "conv_id_b", "g_jac", "g_lev", "g_turns", "g_len",
+            "conv_id_a", "conv_id_b", "g_jac", "g_lev", "g_prefix", "g_len",
             "match_weight",
         )
     q["link_fs_scores"] = q_link_fs_scores
 
     # -- Fellegi–Sunter EM linkage (unsupervised m/u/λ fit; the EM loop is
-    #    driver arithmetic over ≤36 pattern counts — rows-only: iterative
-    #    estimation has no ANSI twin; pinned by tests/test_fellegi_sunter) --
+    #    driver arithmetic over ≤36 SORTED pattern counts, so a DuckDB twin
+    #    aggregating the same gammas fits bit-identical parameters and the
+    #    converged weights/posteriors compare as shared literals) ----------
     def q_link_fs_matches(spark, sf_dir):
         from translink.fellegi_sunter import (
-            comparison_vectors, fs_em_fit, fs_score,
+            comparison_vectors, fs_em_fit, fs_posterior_literal_expr,
+            fs_weight_expr, fs_weight_threshold,
         )
         from translink.linkage import mutual_best_matches
 
@@ -1340,8 +1342,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _link_scored_with_payload(spark, sf_dir), CFG
         ).localCheckpoint()
         params = fs_em_fit(g)
-        probd = fs_score(g, params).withColumn("score", F.col("match_prob"))
-        return mutual_best_matches(probd, CFG, threshold=0.95).select(
+        # rank + threshold on match_weight (a sum of literals, exactly
+        # cross-engine-reproducible), never on the pow-derived posterior;
+        # match_prob itself is a per-pattern Python literal (≤36 branches)
+        probd = (
+            g.withColumn("match_weight", fs_weight_expr(params))
+            .withColumn("match_prob", fs_posterior_literal_expr(params))
+            .withColumn("score", F.col("match_weight"))
+        )
+        thr = fs_weight_threshold(0.95, params)
+        return mutual_best_matches(probd, CFG, threshold=thr).select(
             "conv_id_a", "conv_id_b", "match_weight", "match_prob"
         )
     q["link_fs_matches"] = q_link_fs_matches
@@ -2542,36 +2552,113 @@ QUALIFY row_number() OVER (PARTITION BY conv_id_b
     # the same left-to-right field order — no runtime log/pow enters the
     # comparison. CAST AS DOUBLE defends against DuckDB parsing bare
     # decimal literals as DECIMAL.
-    from translink.fellegi_sunter import FIELDS as _FS_FIELDS, FSParams
-
-    _fs_w = FSParams().weights()
-    _fs_weight_sql = " + ".join(
-        "(CASE "
-        + " ".join(
-            f"WHEN {k} = {lvl} THEN CAST({_fs_w[k][lvl]!r} AS DOUBLE)"
-            for lvl in range(n)
-        )
-        + " END)"
-        for k, n in _FS_FIELDS.items()
+    from translink.fellegi_sunter import (
+        FIELDS as _FS_FIELDS,
+        PREFIX_CAP as _FS_PREFIX_CAP,
+        FSParams,
+        fs_em_from_counts,
+        fs_pattern_literals,
+        fs_weight_threshold,
     )
-    o["link_fs_scores"] = f"""
-WITH {_TRANSCRIPTS_SQL},
-{_LINK_SQL},
-{_SCORE_SQL},
+
+    def _fs_weight_sql(params):
+        w = params.weights()
+        return " + ".join(
+            "(CASE "
+            + " ".join(
+                f"WHEN {k} = {lvl} THEN CAST('{w[k][lvl]!r}' AS DOUBLE)"
+                for lvl in range(n)
+            )
+            + " END)"
+            for k, n in _FS_FIELDS.items()
+        )
+
+    _fs_gammas_sql = f"""
 gammas AS (
   SELECT conv_id_a, conv_id_b,
          CASE WHEN s.token_jaccard >= 0.9 THEN 2
               WHEN s.token_jaccard >= 0.5 THEN 1 ELSE 0 END AS g_jac,
          CASE WHEN s.levenshtein_sim >= 0.9 THEN 2
               WHEN s.levenshtein_sim >= 0.7 THEN 1 ELSE 0 END AS g_lev,
-         CASE WHEN p.n_turns_a = p.n_turns_b THEN 1 ELSE 0 END AS g_turns,
+         CASE WHEN p.canon_text_a[1:{_FS_PREFIX_CAP}]
+                   = p.canon_text_b[1:{_FS_PREFIX_CAP}]
+              THEN 1 ELSE 0 END AS g_prefix,
          CASE WHEN abs(p.total_chars_a - p.total_chars_b)
-                   <= {CFG.length_bucket} THEN 1 ELSE 0 END AS g_len
+                   <= {max(1, CFG.length_bucket // 4)} THEN 1 ELSE 0 END AS g_len
   FROM scored s JOIN cand_pairs p USING (conv_id_a, conv_id_b)
 )
-SELECT conv_id_a, conv_id_b, g_jac, g_lev, g_turns, g_len,
-       {_fs_weight_sql} AS match_weight
+"""
+    o["link_fs_scores"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+{_LINK_SQL},
+{_SCORE_SQL},
+{_fs_gammas_sql}
+SELECT conv_id_a, conv_id_b, g_jac, g_lev, g_prefix, g_len,
+       {_fs_weight_sql(FSParams())} AS match_weight
 FROM gammas
+"""
+
+    # Fellegi–Sunter EM twin: the EM loop is deterministic driver
+    # arithmetic over SORTED (pattern, count) rows, so the twin fits the
+    # SAME parameters by aggregating the same gammas through DuckDB and
+    # running the same pure-Python fs_em_from_counts — then the converged
+    # weights, per-pattern posteriors, and the weight threshold are all
+    # shared literals. The fit runs at the driver's compare scale (sf0.01;
+    # SPARK_GRAFT_ORACLE_SF_DIR overrides). If the parquet is unreadable
+    # here, the query stays rows-only rather than shipping a wrong twin.
+    def _fs_em_twin_params():
+        import duckdb
+
+        sf = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+        )
+        rows = con.execute(f"""
+WITH {_TRANSCRIPTS_SQL},
+{_LINK_SQL},
+{_SCORE_SQL},
+{_fs_gammas_sql}
+SELECT g_jac, g_lev, g_prefix, g_len, count(*) AS n
+FROM gammas GROUP BY g_jac, g_lev, g_prefix, g_len
+""").fetchall()
+        counts = [(tuple(int(v) for v in r[:4]), int(r[4])) for r in rows]
+        return fs_em_from_counts(counts)
+
+    try:
+        _fs_em = _fs_em_twin_params()
+    except Exception:
+        _fs_em = None
+    if _fs_em is not None:
+        _em_prob_sql = "CASE " + " ".join(
+            "WHEN "
+            + " AND ".join(f"{k} = {lvl}" for k, lvl in zip(_FS_FIELDS, pat))
+            + f" THEN CAST('{prob!r}' AS DOUBLE)"
+            for pat, _, prob in fs_pattern_literals(_fs_em)
+        ) + " END"
+        _em_thr = fs_weight_threshold(0.95, _fs_em)
+        o["link_fs_matches"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+{_LINK_SQL},
+{_SCORE_SQL},
+{_fs_gammas_sql},
+weighted AS (
+  SELECT conv_id_a, conv_id_b,
+         {_fs_weight_sql(_fs_em)} AS match_weight,
+         {_em_prob_sql} AS match_prob
+  FROM gammas
+),
+best_a AS (
+  SELECT * FROM weighted
+  WHERE match_weight >= CAST('{_em_thr!r}' AS DOUBLE)
+  QUALIFY row_number() OVER (PARTITION BY conv_id_a
+                             ORDER BY match_weight DESC, conv_id_b) = 1
+)
+SELECT conv_id_a, conv_id_b, match_weight, match_prob FROM best_a
+QUALIFY row_number() OVER (PARTITION BY conv_id_b
+                           ORDER BY match_weight DESC, conv_id_a) = 1
 """
 
     return o

@@ -46,6 +46,12 @@ def main():
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
 
+    # Data-dependent oracle twins (the Fellegi–Sunter EM fit) must read
+    # the SAME corpus this check runs on, not the driver's default sf0.01
+    # — set before oracle_sql() builds its strings.
+    import os
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = args.sf
+
     spark = get_spark(master="local[8]", shuffle_partitions=16,
                       app_name="oracle-check")
     con = duckdb.connect()

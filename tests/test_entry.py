@@ -1,6 +1,8 @@
 """Driver-contract guard: every oracle-checked query must match DuckDB at
 sf0.001 (the driver runs the same comparison at sf0.01)."""
 
+import os
+
 import duckdb
 import pytest
 
@@ -8,6 +10,9 @@ import __spark_entry__ as entrymod
 from scripts.check_oracle import TABLES, rows_multiset
 
 SF_DIR = "/root/testdata/sf0.001"
+# data-dependent oracle twins (FS EM fit) must read the corpus THIS test
+# compares on, not the driver's sf0.01 default
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 
 
 @pytest.fixture(scope="module")

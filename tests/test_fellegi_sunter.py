@@ -52,7 +52,7 @@ def planted(spark):
 
 def test_weights_hand_computed():
     w = FSParams().weights()
-    assert w["g_turns"][1] == pytest.approx(math.log2(0.95 / 0.40))
+    assert w["g_prefix"][1] == pytest.approx(math.log2(0.85 / 0.03))
     assert w["g_jac"][0] == pytest.approx(math.log2(0.02 / 0.90))
     # agreement weighs positive, disagreement negative, for every field
     for k in FIELDS:
@@ -60,21 +60,26 @@ def test_weights_hand_computed():
 
 
 def test_comparison_vector_banding(spark):
+    # g_prefix compares the first PREFIX_CAP=64 chars exactly; g_len band
+    # is length_bucket // 4 = 4 chars (a QUARTER of the blocking bucket —
+    # a bucket-width band would be constant 1 for every blocked pair)
+    same_pfx = "p" * 64 + "tail-a"
     rows = [
-        # tj, lev, n_a, n_b, len_a, len_b -> expected (g_jac,g_lev,g_turns,g_len)
-        (0.95, 0.95, 3, 3, 100, 100, (2, 2, 1, 1)),
-        (0.90, 0.70, 3, 4, 100, 116, (2, 1, 0, 1)),   # boundary: >= is in-band
-        (0.50, 0.69, 2, 2, 100, 117, (1, 0, 1, 0)),
-        (0.49, 0.89, 2, 2, 100, 100, (0, 1, 1, 1)),
+        # tj, lev, text_a, text_b, len_a, len_b
+        #   -> expected (g_jac, g_lev, g_prefix, g_len)
+        (0.95, 0.95, same_pfx, "p" * 64 + "tail-b", 100, 100, (2, 2, 1, 1)),
+        (0.90, 0.70, same_pfx, "q" + "p" * 63, 100, 104, (2, 1, 0, 1)),  # >= is in-band
+        (0.50, 0.69, "short", "short", 100, 105, (1, 0, 1, 0)),
+        (0.49, 0.89, "short", "short x", 100, 100, (0, 1, 0, 1)),
     ]
     df = spark.createDataFrame(
         [r[:6] for r in rows],
-        "token_jaccard double, levenshtein_sim double, n_turns_a int, "
-        "n_turns_b int, total_chars_a int, total_chars_b int",
+        "token_jaccard double, levenshtein_sim double, canon_text_a string, "
+        "canon_text_b string, total_chars_a int, total_chars_b int",
     )
     got = comparison_vectors(df, LinkConfig()).collect()
     for r, (_, _, _, _, _, _, want) in zip(got, rows):
-        assert (r.g_jac, r.g_lev, r.g_turns, r.g_len) == want
+        assert (r.g_jac, r.g_lev, r.g_prefix, r.g_len) == want
 
 
 def test_posterior_monotone_and_extreme():
@@ -82,8 +87,8 @@ def test_posterior_monotone_and_extreme():
     from translink.session import get_spark
 
     spark = get_spark(master="local[4]", shuffle_partitions=8)
-    all_agree = {"g_jac": 2, "g_lev": 2, "g_turns": 1, "g_len": 1}
-    none_agree = {"g_jac": 0, "g_lev": 0, "g_turns": 0, "g_len": 0}
+    all_agree = {"g_jac": 2, "g_lev": 2, "g_prefix": 1, "g_len": 1}
+    none_agree = {"g_jac": 0, "g_lev": 0, "g_prefix": 0, "g_len": 0}
     df = spark.createDataFrame(pd.DataFrame([all_agree, none_agree]))
     got = {r.g_jac: r for r in fs_score(df).collect()}
     assert got[2].match_prob > 0.99
@@ -108,7 +113,7 @@ def test_em_recovers_planted_match_rate(spark, planted):
 
     pairs = link_candidate_pairs(
         prep(a), prep(b), cfg,
-        payload_cols=["canon_text", "shingles", "n_turns", "total_chars"],
+        payload_cols=["canon_text", "shingles", "total_chars"],
     )
     g = comparison_vectors(score_pairs(pairs, cfg), cfg).localCheckpoint()
     # one block of 30+30 -> 900 A×B pairs, 15 of them planted matches
@@ -130,6 +135,56 @@ def test_em_recovers_planted_match_rate(spark, planted):
     params2 = fs_em_fit(g)
     assert params2.m == params.m and params2.u == params.u
     assert params2.lam == params.lam
+
+
+def test_posterior_literals_match_runtime(spark):
+    """The ≤36 Python-computed (weight, prob) literals agree with the
+    runtime pow posterior on every pattern, and thresholding on
+    fs_weight_threshold(p) selects exactly the posterior >= p patterns
+    (weight ranking == posterior ranking, the oracle-parity invariant)."""
+    import itertools
+
+    import pandas as pd
+
+    from translink.fellegi_sunter import (
+        fs_pattern_literals, fs_posterior_literal_expr, fs_weight_threshold,
+    )
+
+    pats = [
+        dict(zip(FIELDS, pat))
+        for pat in itertools.product(*(range(n) for n in FIELDS.values()))
+    ]
+    df = spark.createDataFrame(pd.DataFrame(pats))
+    rows = fs_score(df).withColumn(
+        "lit_prob", fs_posterior_literal_expr()
+    ).collect()
+    assert len(rows) == len(fs_pattern_literals())
+    thr = fs_weight_threshold(0.9)
+    by_pat = {
+        tuple(lvl for _, lvl in sorted(
+            (list(FIELDS).index(k), r[k]) for k in FIELDS)): r
+        for r in rows
+    }
+    for pat, weight, prob in fs_pattern_literals():
+        r = by_pat[pat]
+        assert r.match_weight == pytest.approx(weight, abs=0.0)
+        assert r.lit_prob == pytest.approx(r.match_prob, rel=1e-12)
+        assert (r.match_weight >= thr) == (prob >= 0.9)
+
+
+def test_em_fit_order_independent():
+    """fs_em_from_counts must be invariant to the input (shuffle) order —
+    the property that makes the DuckDB EM twin bit-identical."""
+    from translink.fellegi_sunter import fs_em_from_counts
+
+    counts = [
+        ((2, 2, 1, 1), 15), ((0, 0, 0, 1), 800), ((1, 0, 0, 1), 85),
+        ((0, 1, 0, 0), 40), ((2, 1, 1, 1), 7),
+    ]
+    p1 = fs_em_from_counts(counts)
+    p2 = fs_em_from_counts(list(reversed(counts)))
+    assert p1.m == p2.m and p1.u == p2.u and p1.lam == p2.lam
+    assert p1.n_iter == p2.n_iter
 
 
 def test_fs_link_tables_end_to_end(spark, planted):

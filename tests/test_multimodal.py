@@ -70,8 +70,10 @@ def test_resize_images_real_resample(spark):
     assert by_id[16]["thumb"] == by_id[0]["thumb"]
     assert by_id[16]["thumb_hash"] == by_id[0]["thumb_hash"]
     assert by_id[17]["thumb_hash"] == by_id[1]["thumb_hash"]
-    with pytest.raises(NotImplementedError):
-        resize_images(assets, fake_decode=False)
+    # real-decode over these fake-header payloads fails INSIDE the kernel
+    # (jpeg has no codec; the fake PNG header is not a valid PNG stream)
+    with pytest.raises(Exception, match="codec|PNG"):
+        resize_images(assets, fake_decode=False).collect()
 
 
 def test_sample_video_frames_stride_and_growth(spark):
@@ -133,3 +135,133 @@ def test_feature_hash_is_order_sensitive():
     # and large payloads must not overflow (old int64-sum path did)
     big = bytes(range(256)) * 1024  # 256 KiB, byte-sum >> 2^63 / prime
     assert decode_image_batch(pd.Series([big]), fake=True)["feature_hash"][0] > 0
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec (pure-stdlib decode_png/encode_png)
+# ---------------------------------------------------------------------------
+
+def _seeded_img(shape, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=shape, dtype="uint8" if True else None).astype("uint8")
+
+
+def test_png_round_trip_all_filters_and_colors():
+    """encode→decode is the identity for every filter type (0-4, each
+    exercising one decoder unfilter path) and channel count (gray, gray+
+    alpha, RGB, RGBA)."""
+    import numpy as np
+
+    from translink.multimodal import decode_png, encode_png
+
+    for shape in [(5, 7), (5, 7, 2), (6, 4, 3), (3, 9, 4)]:
+        img = _seeded_img(shape)
+        for ftype in range(5):
+            out = decode_png(encode_png(img, filter_type=ftype))
+            assert out.shape == img.shape, (shape, ftype)
+            assert np.array_equal(out, img), (shape, ftype)
+
+
+def test_png_paletted_decode():
+    """Color type 3 expands PLTE entries to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from translink.multimodal import decode_png
+
+    # hand-build a 2x2 paletted PNG: indices [[0,1],[1,0]], palette R/G
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0])
+    idat = zlib.compress(b"\x00\x00\x01" + b"\x00\x01\x00")
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", plte) + chunk(b"IDAT", idat)
+           + chunk(b"IEND", b""))
+    img = decode_png(png)
+    assert img.shape == (2, 2, 3)
+    assert np.array_equal(img[0, 0], [255, 0, 0])
+    assert np.array_equal(img[0, 1], [0, 255, 0])
+
+
+def test_png_malformed_and_unsupported():
+    import struct
+    import zlib
+
+    import pytest
+
+    from translink.multimodal import decode_png, encode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
+    # corrupt a CRC byte
+    good = bytearray(encode_png(_seeded_img((4, 4))))
+    good[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(good))
+    # 16-bit depth: valid PNG, out of scope -> NotImplementedError
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    png16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+             + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+             + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_png(png16)
+
+
+def test_extract_features_real_png_distributed(spark):
+    """fake_decode=False end-to-end over a table of REAL PNGs: dims come
+    from IHDR, the feature hash from decoded pixels (identical pixels
+    encoded with different filters hash the same)."""
+    import numpy as np
+
+    from translink.multimodal import ASSET_SCHEMA, encode_png, extract_features
+
+    imgs = {i: _seeded_img((8 + i, 5 + i, 3), seed=i) for i in range(6)}
+    rows = [(i, "image", encode_png(img, filter_type=i % 5), "src")
+            for i, img in imgs.items()]
+    # asset 6: same pixels as asset 0, different filter -> same feature_hash
+    rows.append((6, "image", encode_png(imgs[0], filter_type=2), "dup"))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(3)
+    feats = {r["asset_id"]: r
+             for r in extract_features(assets, fake_decode=False).collect()}
+    for i, img in imgs.items():
+        assert (feats[i]["height"], feats[i]["width"]) == img.shape[:2]
+        assert feats[i]["magic"] == "png"
+    assert feats[6]["feature_hash"] == feats[0]["feature_hash"]
+    assert feats[1]["feature_hash"] != feats[0]["feature_hash"]
+
+
+def test_resize_images_real_png(spark):
+    """Real-decode resize: 32x32 grayscale thumbs from RGB PNGs,
+    deterministic across filter choices."""
+    from translink.multimodal import ASSET_SCHEMA, encode_png, resize_images
+
+    img = _seeded_img((40, 30, 3), seed=3)
+    rows = [(0, "image", encode_png(img, filter_type=0), "s"),
+            (1, "image", encode_png(img, filter_type=4), "s")]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    thumbs = {r["asset_id"]: r
+              for r in resize_images(assets, 32, 32, fake_decode=False).collect()}
+    assert len(thumbs[0]["thumb"]) == 32 * 32
+    assert thumbs[0]["thumb_hash"] == thumbs[1]["thumb_hash"]
+
+
+def test_real_decode_rejects_non_png(spark):
+    import pandas as pd
+    import pytest
+
+    from translink.multimodal import decode_image_batch
+
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"GIF89a..."]), fake=False)

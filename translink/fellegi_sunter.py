@@ -19,14 +19,35 @@ driver-side arithmetic over that tiny table — the corpus is touched
 exactly once, no per-iteration shuffle, no collect of pairs.
 
 Comparison fields over transcript pairs (levels):
-  - ``g_jac``  token-shingle Jaccard       (0: <0.5, 1: >=0.5, 2: >=0.9)
-  - ``g_lev``  Levenshtein similarity      (0: <0.7, 1: >=0.7, 2: >=0.9)
-  - ``g_turns`` exact turn-count agreement (0/1)
-  - ``g_len``  total length within one blocking bucket (0/1)
+  - ``g_jac``    token-shingle Jaccard       (0: <0.5, 1: >=0.5, 2: >=0.9)
+  - ``g_lev``    Levenshtein similarity      (0: <0.7, 1: >=0.7, 2: >=0.9)
+  - ``g_prefix`` first-``PREFIX_CAP``-chars exact agreement (0/1)
+  - ``g_len``    |Δ total_chars| within a QUARTER of the blocking bucket (0/1)
+
+Field-vs-blocking independence: candidate pairs only exist inside a
+block, and the block key already encodes ``n_turns`` and
+``floor(total_chars / length_bucket)`` — so turn-count equality and a
+bucket-width length band would be structurally constant 1 for every pair
+the pipeline ever scores (zero discriminating information, a uniform
+~+2.2-bit inflation of every fixed-params posterior). The fields above
+are chosen to stay informative GIVEN blocking agreement: the content
+prefix is not part of any key, and the length band is strictly tighter
+than the bucket that blocking guarantees.
+
+Calibration caveat (document, don't hide): the unsupervised EM estimates
+``u`` and ``λ`` from the BLOCKED candidate-pair population, so ``u`` is
+conditioned on blocking agreement (biased high vs corpus-random pairs)
+and ``match_prob`` is an in-block posterior — "probability this
+candidate is a match, given it already collided in blocking" — not a
+corpus-wide one. That is the quantity a linkage decision inside this
+pipeline needs (only blocked pairs are ever decided on), but a
+``min_match_prob`` threshold here is NOT comparable to thresholds from
+engines that estimate ``u`` on random cross-corpus pairs.
 """
 
 from __future__ import annotations
 
+import itertools
 import math
 from dataclasses import dataclass, field
 
@@ -35,22 +56,30 @@ from pyspark.sql import DataFrame, functions as F
 from translink.config import LinkConfig
 
 #: Comparison-field names -> number of agreement levels.
-FIELDS: dict[str, int] = {"g_jac": 3, "g_lev": 3, "g_turns": 2, "g_len": 2}
+FIELDS: dict[str, int] = {"g_jac": 3, "g_lev": 3, "g_prefix": 2, "g_len": 2}
+
+#: Characters of canonical text compared exactly for ``g_prefix``.
+PREFIX_CAP = 64
 
 #: Fixed default parameters (the oracle-reproducible path): chosen to be
 #: sane for near-duplicate text linkage — high agreement is ~certain under
 #: a match and rare under a non-match. Probabilities per level, low→high.
+#: ``u`` is the IN-BLOCK non-match rate (see module docstring): e.g.
+#: ``g_len`` level 1 is |Δchars| ≤ bucket/4, and two independent lengths
+#: uniform within one 16-char blocking bucket land within 4 of each other
+#: ~48% of the time — hence u ≈ [0.52, 0.48], not the tiny corpus-random
+#: rate.
 DEFAULT_M: dict[str, list[float]] = {
     "g_jac": [0.02, 0.18, 0.80],
     "g_lev": [0.02, 0.18, 0.80],
-    "g_turns": [0.05, 0.95],
+    "g_prefix": [0.15, 0.85],
     "g_len": [0.05, 0.95],
 }
 DEFAULT_U: dict[str, list[float]] = {
     "g_jac": [0.90, 0.09, 0.01],
     "g_lev": [0.80, 0.15, 0.05],
-    "g_turns": [0.60, 0.40],
-    "g_len": [0.50, 0.50],
+    "g_prefix": [0.97, 0.03],
+    "g_len": [0.52, 0.48],
 }
 DEFAULT_LAMBDA = 0.1
 
@@ -85,13 +114,16 @@ class FSParams:
 def comparison_vectors(scored_pairs: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
     """Reduce scored candidate pairs to discrete comparison vectors.
 
-    Input needs ``token_jaccard``, ``levenshtein_sim``, ``n_turns_a/b``,
+    Input needs ``token_jaccard``, ``levenshtein_sim``, ``canon_text_a/b``,
     ``total_chars_a/b`` (i.e. ``score_pairs`` output over pairs carrying
-    the numeric payload columns). Adds the ``g_*`` level columns; banding
-    thresholds are fixed constants so the reduction is exactly
-    reproducible in ANSI SQL.
+    the text/numeric payload columns). Adds the ``g_*`` level columns;
+    banding thresholds are fixed constants so the reduction is exactly
+    reproducible in ANSI SQL. Neither gamma is implied by blocking
+    agreement (module docstring): the prefix is no key's input, and the
+    length band is a quarter of the blocking bucket.
     """
     cfg = cfg or LinkConfig()
+    len_band = max(1, int(cfg.length_bucket) // 4)
     return scored_pairs.withColumns({
         "g_jac": F.when(F.col("token_jaccard") >= 0.9, F.lit(2))
                   .when(F.col("token_jaccard") >= 0.5, F.lit(1))
@@ -99,11 +131,13 @@ def comparison_vectors(scored_pairs: DataFrame, cfg: LinkConfig | None = None) -
         "g_lev": F.when(F.col("levenshtein_sim") >= 0.9, F.lit(2))
                   .when(F.col("levenshtein_sim") >= 0.7, F.lit(1))
                   .otherwise(F.lit(0)),
-        "g_turns": F.when(F.col("n_turns_a") == F.col("n_turns_b"), F.lit(1))
-                    .otherwise(F.lit(0)),
+        "g_prefix": F.when(
+            F.substring("canon_text_a", 1, PREFIX_CAP)
+            == F.substring("canon_text_b", 1, PREFIX_CAP), F.lit(1)
+        ).otherwise(F.lit(0)),
         "g_len": F.when(
             F.abs(F.col("total_chars_a") - F.col("total_chars_b"))
-            <= F.lit(int(cfg.length_bucket)), F.lit(1)
+            <= F.lit(len_band), F.lit(1)
         ).otherwise(F.lit(0)),
     })
 
@@ -146,18 +180,79 @@ def fs_score(gammas: DataFrame, params: FSParams | None = None) -> DataFrame:
     )
 
 
+def fs_pattern_literals(
+    params: FSParams | None = None,
+) -> list[tuple[tuple[int, ...], float, float]]:
+    """Every γ pattern with Python-computed (match_weight, match_prob).
+
+    The weight is the left-to-right sum of the per-field literals — the
+    exact float the engines' ``fs_weight_expr`` column produces at
+    runtime — and the posterior is computed from it HERE, once, in
+    Python. Embedding these ≤36 (pattern → prob) literals as a CASE in
+    both engines keeps ``pow`` (not correctly-rounded, engine-specific)
+    out of the cross-engine comparison entirely.
+    """
+    params = params or FSParams()
+    w = params.weights()
+    prior_odds = params.lam / max(1.0 - params.lam, _EPS)
+    inv_odds = 1.0 / max(prior_odds, _EPS)
+    out = []
+    for pat in itertools.product(*(range(n) for n in FIELDS.values())):
+        weight = 0.0
+        for k, lvl in zip(FIELDS, pat):
+            weight = weight + w[k][lvl]
+        prob = 1.0 / (1.0 + inv_odds * 2.0 ** (-weight))
+        out.append((pat, weight, prob))
+    return out
+
+
+def fs_posterior_literal_expr(params: FSParams | None = None) -> F.Column:
+    """``match_prob`` as a ≤36-branch CASE over the γ columns with
+    Python-computed double literals (see ``fs_pattern_literals``)."""
+    expr = None
+    for pat, _, prob in fs_pattern_literals(params):
+        cond = None
+        for k, lvl in zip(FIELDS, pat):
+            c = F.col(k) == F.lit(lvl)
+            cond = c if cond is None else cond & c
+        expr = (
+            F.when(cond, F.lit(prob)) if expr is None
+            else expr.when(cond, F.lit(prob))
+        )
+    return expr.otherwise(F.lit(None).cast("double"))
+
+
+def fs_weight_threshold(
+    min_match_prob: float, params: FSParams | None = None
+) -> float:
+    """The ``match_weight`` whose posterior equals ``min_match_prob``.
+
+    Thresholding / ranking on the weight is result-identical to doing so
+    on the posterior (strictly monotone), but the weight is a sum of
+    shared literals — exactly reproducible across engines — while the
+    posterior needs a runtime ``pow``.
+    """
+    params = params or FSParams()
+    prior_odds = params.lam / max(1.0 - params.lam, _EPS)
+    p = min(max(min_match_prob, _EPS), 1.0 - _EPS)
+    return math.log2((p / (1.0 - p)) / max(prior_odds, _EPS))
+
+
 def fs_pattern_counts(gammas: DataFrame) -> list[tuple[tuple[int, ...], int]]:
     """ONE distributed aggregation: pair set -> (γ pattern, count).
 
     At most ``prod(levels)`` = 36 rows come back to the driver regardless
     of corpus size — this is the only pass over the pairs EM ever makes.
+    Returned SORTED by pattern: ``collect()`` order depends on the
+    shuffle, and float accumulation order must not (the EM arithmetic is
+    bit-reproducible across partitionings only if its iteration order is).
     """
     rows = (
         gammas.groupBy(*FIELDS).agg(F.count("*").alias("n")).collect()
     )
-    return [
+    return sorted(
         (tuple(int(r[k]) for k in FIELDS), int(r["n"])) for r in rows
-    ]
+    )
 
 
 def fs_em_fit(
@@ -166,16 +261,30 @@ def fs_em_fit(
     tol: float = 1e-9,
     init: FSParams | None = None,
 ) -> FSParams:
-    """Unsupervised EM over the pattern counts (Fellegi–Sunter §5 /
+    """Unsupervised EM over a gamma DataFrame: one distributed pattern
+    aggregation, then ``fs_em_from_counts`` driver arithmetic."""
+    return fs_em_from_counts(fs_pattern_counts(gammas), n_iter, tol, init)
+
+
+def fs_em_from_counts(
+    counts: list[tuple[tuple[int, ...], int]],
+    n_iter: int = 50,
+    tol: float = 1e-9,
+    init: FSParams | None = None,
+) -> FSParams:
+    """Unsupervised EM over (γ pattern, count) rows (Fellegi–Sunter §5 /
     the standard Splink formulation).
 
     E-step: responsibility of pattern p is
     ``r_p = λ·Π m / (λ·Π m + (1-λ)·Π u)``; M-step re-estimates λ and each
     field's m/u tables from count-weighted responsibilities. All driver
-    arithmetic over ≤ 36 patterns; deterministic for a deterministic
-    input (fixed init, fixed iteration order, no randomness).
+    arithmetic over ≤ 36 patterns; counts are re-sorted by pattern so two
+    engines aggregating the same pair set fit bit-identical parameters
+    (pure Python floats, fixed iteration order, no randomness) — this is
+    what lets a DuckDB twin run the SAME EM and embed the converged
+    weights as literals.
     """
-    counts = fs_pattern_counts(gammas)
+    counts = sorted(counts)
     params = init or FSParams()
     m = {k: list(v) for k, v in params.m.items()}
     u = {k: list(v) for k, v in params.u.items()}
@@ -251,7 +360,7 @@ def fs_link_tables(
 
     pairs = link_candidate_pairs(
         prep(a_turns), prep(b_turns), cfg,
-        payload_cols=["canon_text", "shingles", "n_turns", "total_chars"],
+        payload_cols=["canon_text", "shingles", "total_chars"],
     )
     scored = score_pairs(pairs, cfg, include_jaro_winkler=False)
     gammas = comparison_vectors(scored, cfg)

@@ -6,16 +6,20 @@ kernels so each partition streams through Python in bounded batches (the
 Spark analog of the reference's MIME magic-number detection and
 content-structure analysis, ``src/pipeline/quick_check.rs:292-370``).
 
-The actual codec step is STUBBED (no image/audio libraries in this
-container): ``decode_image_batch`` raises NotImplementedError unless the
-deterministic fake decoder is requested. Everything around it — schema,
-partitioning, UDF signatures, batch iteration, metadata extraction — is real
-and tested, so dropping in a real decoder is a one-function change.
+Codecs: PNG decodes FOR REAL via a pure-stdlib decoder (``decode_png``:
+zlib inflate + per-scanline unfilter, straight from the public PNG spec /
+RFC 2083 — no image library needed). Other containers (jpeg/gif/audio/
+video) remain STUBBED: ``decode_image_batch`` raises NotImplementedError
+for them unless the deterministic fake decoder is requested. Everything
+around the codec boundary — schema, partitioning, UDF signatures, batch
+iteration, metadata extraction — is real and tested either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -66,23 +70,181 @@ def sniff_magic(payload: bytes | None) -> str | None:
     return "unknown"
 
 
+#: PNG color type -> samples per pixel (public spec §6.1).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decoder (zlib inflate + per-scanline unfilter).
+
+    Implements the public PNG specification (W3C / RFC 2083) for the
+    common on-disk shape: 8-bit depth, color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced. Returns an
+    ``(h, w)`` uint8 array for grayscale or ``(h, w, c)`` otherwise
+    (palette entries are expanded to RGB). Raises ``ValueError`` for
+    malformed bytes and ``NotImplementedError`` for valid-but-unsupported
+    variants (16-bit, interlaced) — callers distinguish corrupt from
+    out-of-scope.
+    """
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos:pos + 8])
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length]
+        )[0]:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if color not in _PNG_CHANNELS or comp != 0 or filt != 0:
+        raise ValueError(f"invalid PNG header (color={color}, comp={comp})")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace} not supported "
+            "(8-bit non-interlaced only)"
+        )
+    nch = _PNG_CHANNELS[color]
+    stride = w * nch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel payload has wrong length")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: + left (serial along the scanline)
+            for i in range(nch, stride):
+                line[i] = (int(line[i]) + int(line[i - nch])) & 0xFF
+        elif ftype == 2:  # Up: + above (vectorized; uint8 add wraps mod 256)
+            line += prev
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = int(line[i - nch]) if i >= nch else 0
+                line[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = line
+        prev = line
+    img = out.reshape(h, w, nch) if nch > 1 else out.reshape(h, w)
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("paletted PNG without a valid PLTE")
+        img = np.frombuffer(plte, np.uint8).reshape(-1, 3)[img.reshape(h, w)]
+    return img
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (8-bit, non-interlaced) — the fixture/round-trip
+    counterpart of ``decode_png``. ``img`` is ``(h, w)`` gray or ``(h, w,
+    c)`` with c in {2, 3, 4}; ``filter_type`` 0-4 applies that filter to
+    every scanline (exercises each decoder unfilter path).
+    """
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w, nch = *img.shape, 1
+    elif img.ndim == 3 and img.shape[2] in (2, 3, 4):
+        h, w, nch = img.shape
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    flat = img.reshape(h, w * nch).astype(np.int16)
+    lines = []
+    prev = np.zeros(w * nch, dtype=np.int16)
+    for y in range(h):
+        cur = flat[y]
+        left = np.zeros_like(cur)
+        left[nch:] = cur[:-nch]
+        up_left = np.zeros_like(prev)
+        up_left[nch:] = prev[:-nch]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - up_left
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - up_left)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, up_left)
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"filter_type {filter_type} invalid")
+        lines.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
     """Decode a batch of image payloads to (width, height, feature_hash).
 
-    Real decoding requires an image library not present in this container —
-    STUB: raises NotImplementedError. With ``fake=True`` a deterministic
-    stand-in derives dims and a feature hash from the bytes themselves, so
-    the distributed plumbing is testable end-to-end.
+    The real path (``fake=False``) decodes PNG payloads with the
+    pure-stdlib ``decode_png`` (dims from IHDR, feature hash over the
+    DECODED pixel array) and raises NotImplementedError for containers
+    with no codec in this environment (jpeg/gif/...). With ``fake=True``
+    the deterministic stand-in derives dims and a feature hash from the
+    raw bytes for EVERY payload, so the distributed plumbing is testable
+    with arbitrary fixture bytes.
     """
-    if not fake:
-        raise NotImplementedError(
-            "no image codec in this environment; pass fake=True for the "
-            "deterministic stand-in decoder"
-        )
     widths, heights, hashes = [], [], []
     for p in payloads:
         if p is None or len(p) == 0:
             widths.append(None); heights.append(None); hashes.append(None)
+            continue
+        if not fake:
+            if sniff_magic(p) != "png":
+                raise NotImplementedError(
+                    f"no {sniff_magic(p)} codec in this environment; only "
+                    "PNG decodes for real — pass fake=True for the "
+                    "deterministic stand-in decoder"
+                )
+            img = decode_png(p)
+            heights.append(int(img.shape[0]))
+            widths.append(int(img.shape[1]))
+            hashes.append(_hash_u8(img))
             continue
         arr = np.frombuffer(p, dtype=np.uint8)
         widths.append(int(16 + arr[: 8].sum() % 1024))
@@ -196,14 +358,12 @@ def resize_images(
     resample to (width, height) -> re-encode as raw bytes + digest.
 
     The resample is REAL numpy index arithmetic (the operation a training
-    pipeline runs before feature extraction); only the codec is the
-    deterministic fake. Identical payloads produce identical thumbs and
-    hashes, so near-dup-by-thumbnail composes with dedup_by_feature."""
-    if not fake_decode:
-        raise NotImplementedError(
-            "no image codec in this environment; pass fake_decode=True for "
-            "the deterministic stand-in decoder"
-        )
+    pipeline runs before feature extraction). With ``fake_decode=False``
+    PNG payloads decode for real (``decode_png``; multi-channel images
+    collapse to grayscale by integer channel mean) and other containers
+    raise; the fake path decodes any bytes deterministically. Identical
+    payloads produce identical thumbs and hashes either way, so
+    near-dup-by-thumbnail composes with dedup_by_feature."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -217,7 +377,22 @@ def resize_images(
                     out["thumb"].append(None)
                     out["thumb_hash"].append(None)
                     continue
-                img = _fake_decode_gray(p)
+                if fake_decode:
+                    img = _fake_decode_gray(p)
+                else:
+                    if sniff_magic(p) != "png":
+                        raise NotImplementedError(
+                            f"no {sniff_magic(p)} codec in this "
+                            "environment; only PNG decodes for real — "
+                            "pass fake_decode=True for the stand-in"
+                        )
+                    img = decode_png(p)
+                    if img.ndim == 3:
+                        # integer channel mean: deterministic, no float
+                        img = (
+                            img.astype(np.uint16).sum(axis=2)
+                            // img.shape[2]
+                        ).astype(np.uint8)
                 h, w = img.shape
                 # nearest-neighbor resample via integer index maps
                 yi = (np.arange(height) * h) // height
