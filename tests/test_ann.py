@@ -222,3 +222,31 @@ def test_exact_paths_survive_degenerate_vectors(spark):
     # Spark evaluates NaN >= tau as TRUE: unguarded, 6 and 7 would pair
     # with every vector in the corpus
     assert not any(a in bad or b in bad for a, b in ids)
+
+
+def test_ivf_recall_at_design_regime(spark, emb):
+    """IVF's design regime is near-duplicate retrieval: queries that are
+    tiny perturbations of corpus vectors (cos ~0.9998). The perturbed
+    query quantizes into its base vector's cell (or a probed neighbor
+    cell), so top-1 must recover the base — a pinned >= 0.9 floor so
+    approximate-lane drift fails loudly (the random-gaussian test above
+    covers the worst case; this one covers the case users run)."""
+    import numpy as np
+
+    from translink.ann import cosine_topk_ivf
+
+    rng = np.random.default_rng(11)
+    base = emb.filter(F.col("vec_id") < 40).collect()
+    dim = len(base[0]["embedding"])
+    rows = []
+    for r in base:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        noise = rng.standard_normal(dim)
+        v = v + 0.02 * float(np.linalg.norm(v)) / np.sqrt(dim) * noise
+        rows.append((int(r["vec_id"]) + 500000, [float(x) for x in v], "q"))
+    q = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    got = cosine_topk_ivf(emb, q, k=1, dim=dim, n_centroids=16, n_probe=4)
+    hits = sum(1 for r in got.collect()
+               if r["neighbor_id"] == r["query_id"] - 500000)
+    assert hits / len(base) >= 0.9, hits
