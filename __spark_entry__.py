@@ -254,27 +254,21 @@ def _spark_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _clusters_from_scored(
     spark: SparkSession, sf_dir: str, scored: DataFrame
 ) -> DataFrame:
-    """Thresholded similarity edges + exact star edges -> large-star/
-    small-star CC -> every conversation labeled. The ONE cluster-assembly
-    definition shared by the clusters query and q_cluster_similarity
-    (which passes a checkpointed scored input so the scoring lineage runs
-    once for both the edges and the per-cluster mean)."""
-    from translink.clustering import clusters_with_singletons, connected_components
+    """Thresholded similarity edges over exact-contracted digest groups ->
+    large-star/small-star CC over the sparse contracted graph -> every
+    conversation labeled (translink.clustering.clusters_by_contraction;
+    label-identical to the old star-edges-into-the-loop composition). The
+    ONE cluster-assembly definition shared by the clusters query and
+    q_cluster_similarity (which passes a checkpointed scored input so the
+    scoring lineage runs once for both the edges and the per-cluster
+    mean)."""
+    from translink.clustering import clusters_by_contraction
 
     sim_edges = scored.filter(F.col("score") >= CFG.threshold).select(
         F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")
     )
     c = _spark_canonical(spark, sf_dir)
-    w = Window.partitionBy(F.md5("canon_text"))
-    star = (
-        c.select(
-            F.min("conv_id").over(w).alias("src"),
-            F.col("conv_id").alias("dst"),
-        )
-        .filter(F.col("src") != F.col("dst"))
-    )
-    comps = connected_components(sim_edges.union(star), CFG)
-    return clusters_with_singletons(c.select("conv_id"), comps)
+    return clusters_by_contraction(with_exact_digest(c), sim_edges, CFG)
 
 
 def _spark_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

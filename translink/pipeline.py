@@ -30,11 +30,7 @@ from translink.blocking import lsh_band_keys, with_block_key, with_salt
 from translink.candidates import candidate_pairs, lsh_candidate_pairs
 from translink.canonicalize import canonicalize
 from translink.catalog import Catalog
-from translink.clustering import (
-    clusters_with_singletons,
-    connected_components,
-    exact_edges,
-)
+from translink.clustering import clusters_by_contraction
 from translink.config import LinkConfig
 from translink.report import elect_primary
 from translink.scoring import edges as threshold_edges
@@ -247,10 +243,11 @@ def _run_stages(transcripts, cfg, _stage, timings, cat) -> dict:
     scored = _stage("scored", _build_scored)
 
     def _build_clusters() -> DataFrame:
+        # exact-dup groups contract to their reps BEFORE the CC loop: the
+        # dup mass (the bulk of the graph in a crawl corpus) never rides a
+        # round's shuffle; label-identical to star-edges-into-the-loop
         sim_edges = threshold_edges(scored, cfg).select("src", "dst")
-        ex_edges = exact_edges(signed).select("src", "dst")
-        components = connected_components(sim_edges.union(ex_edges), cfg)
-        return clusters_with_singletons(signed.select("conv_id"), components)
+        return clusters_by_contraction(signed, sim_edges, cfg)
 
     clusters = _stage("clusters", _build_clusters)
     members = _stage("members", lambda: elect_primary(clusters, canonical))
