@@ -84,3 +84,40 @@ def test_jw_udf_matches_local(spark):
     for r in out:
         local = _jaro_winkler(r["canon_text_a"], r["canon_text_b"])
         assert math.isclose(r["jaro_winkler"], local, abs_tol=1e-12)
+
+
+def test_jw_numpy_batch_parity_randomized():
+    """The vectorized batch kernel must be BIT-identical to the scalar
+    reference on randomized unicode pairs (equal/empty/mutated/disjoint,
+    single-char, non-BMP, and grossly unequal lengths — the window-radius
+    grouping and pad-sentinel edge cases)."""
+    import random
+    import numpy as np
+
+    from translink.scoring import _jw_batch_numpy
+
+    rng = random.Random(1234)
+    alpha = "abcdefghijklmnopqrstuvwxyz éß中𐍈"
+    edge = ["", "a", "ab", "ba", "abc", "martha", "marhta", "dwayne", "duane"]
+    pairs = [(s, t) for s in edge for t in edge]
+    for _ in range(1500):
+        n1 = rng.randint(0, 40)
+        s = "".join(rng.choice(alpha) for _ in range(n1))
+        r = rng.random()
+        if r < 0.3:
+            t = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        elif r < 0.6:
+            t = "".join(c if rng.random() > 0.2 else rng.choice(alpha) for c in s)
+        else:
+            t = s
+        pairs.append((s, t))
+    for _ in range(200):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 4)))
+        t = "".join(rng.choice(alpha) for _ in range(rng.randint(40, 90)))
+        pairs.extend([(s, t), (t, s)])
+    got = _jw_batch_numpy(
+        np.array([p[0] for p in pairs], dtype=object),
+        np.array([p[1] for p in pairs], dtype=object),
+    )
+    exp = np.array([_jaro_winkler(s, t) for s, t in pairs])
+    assert (got == exp).all()

@@ -69,11 +69,119 @@ def _jaro_winkler(s: str, t: str, prefix_weight: float = 0.1) -> float:
     return jaro + prefix * prefix_weight * (1.0 - jaro)
 
 
+def _jw_batch_numpy(
+    a: "np.ndarray", b: "np.ndarray", prefix_weight: float = 0.1
+) -> "np.ndarray":
+    """Batch Jaro-Winkler, vectorized over the PAIR axis with numpy.
+
+    Numerically identical to ``_jaro_winkler`` (same greedy first-unmatched
+    match order via ``argmax``, same float64 operation order in the jaro and
+    prefix-boost formulas; pinned by a randomized parity pytest). The scalar
+    loop costs ~1 ms/pair of interpreted Python at jw_text_cap=256; here the
+    per-character greedy pass runs as O(L) numpy sweeps over (batch, L)
+    matrices, amortizing the interpreter out of the hot path (~10x).
+
+    ``a``/``b`` are object arrays of str (no Nones — caller fills)."""
+    import numpy as np
+
+    n = len(a)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    ls = np.fromiter((len(s) for s in a), dtype=np.int64, count=n)
+    lt = np.fromiter((len(s) for s in b), dtype=np.int64, count=n)
+    eq = a == b
+    out[eq] = 1.0
+    work = ~eq & (ls > 0) & (lt > 0)
+    if not work.any():
+        return out
+    wa, wb = a[work], b[work]
+    wls, wlt = ls[work], lt[work]
+    m = len(wa)
+    max_s, max_t = int(wls.max()), int(wlt.max())
+    # utf-32 codepoint matrices; pads are distinct sentinels above any
+    # codepoint so a pad never matches real text or the other pad
+    S = np.full((m, max_s), 0x7FFFFFFF, dtype=np.uint32)
+    T = np.full((m, max_t), 0x7FFFFFFE, dtype=np.uint32)
+    for i, s in enumerate(wa):
+        S[i, : wls[i]] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    for i, s in enumerate(wb):
+        T[i, : wlt[i]] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    md = np.maximum(wls, wlt) // 2 - 1  # may be -1: empty window, 0 matches
+    # group rows by window radius: within a group the sweep's column slice
+    # [i-md, i+md+1) IS every row's window (pads block j >= lt), so the two
+    # per-iteration window comparisons disappear entirely. Post-blocking
+    # batches have near-uniform lengths -> a handful of groups
+    jw = np.zeros(m, dtype=np.float64)
+    for mdv in np.unique(md):
+        g = np.nonzero(md == mdv)[0]
+        jw[g] = _jw_group(
+            S[g], T[g], wls[g], wlt[g], int(mdv), prefix_weight
+        )
+    out[np.nonzero(work)[0]] = jw
+    return out
+
+
+def _jw_group(S, T, wls, wlt, md: int, prefix_weight: float):
+    """Jaro-Winkler for one constant-window-radius group (see caller)."""
+    import numpy as np
+
+    m, max_s = S.shape
+    max_t = T.shape[1]
+    if md < 0:  # window empty for every row: zero matches, JW = 0
+        return np.zeros(m, dtype=np.float64)
+    t_free = np.ones((m, max_t), dtype=bool)  # ~t_matched, kept incrementally
+    s_matched = np.zeros((m, max_s), dtype=bool)
+    cand = np.empty((m, max_t), dtype=bool)
+    for i in range(max_s):
+        c0, c1 = max(0, i - md), min(max_t, i + md + 1)
+        if c0 >= c1:
+            continue
+        v = cand[:, c0:c1]
+        np.equal(T[:, c0:c1], S[:, i : i + 1], out=v)
+        v &= t_free[:, c0:c1]
+        hit = v.any(axis=1)
+        j = v.argmax(axis=1) + c0
+        t_free[np.nonzero(hit)[0], j[hit]] = False
+        s_matched[hit, i] = True
+    t_matched = ~t_free
+    matches = s_matched.sum(axis=1)
+    # ordered matched codepoints, scattered by per-row match rank
+    max_m = int(matches.max()) if m else 0
+    jw = np.zeros(m, dtype=np.float64)
+    has = matches > 0
+    if max_m > 0:
+        Ms = np.zeros((m, max_m), dtype=np.uint32)
+        Mt = np.zeros((m, max_m), dtype=np.uint32)
+        r, c = np.nonzero(s_matched)
+        Ms[r, (np.cumsum(s_matched, axis=1) - 1)[r, c]] = S[r, c]
+        r, c = np.nonzero(t_matched)
+        Mt[r, (np.cumsum(t_matched, axis=1) - 1)[r, c]] = T[r, c]
+        trans = (
+            ((Ms != Mt) & (np.arange(max_m)[None, :] < matches[:, None]))
+            .sum(axis=1)
+            // 2
+        )
+        fm = matches[has].astype(np.float64)
+        jaro = (
+            fm / wls[has] + fm / wlt[has] + (fm - trans[has]) / fm
+        ) / 3.0
+        # common-prefix boost, capped at 4 chars
+        k = min(4, max_s, max_t)
+        pref = np.cumprod(S[:, :k] == T[:, :k], axis=1).sum(axis=1)
+        jw[has] = jaro + pref[has] * prefix_weight * (1.0 - jaro)
+    return jw
+
+
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched Jaro-Winkler over two text columns."""
+    """Arrow-batched Jaro-Winkler over two text columns (numpy batch kernel)."""
     return pd.Series(
-        [_jaro_winkler(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+        _jw_batch_numpy(
+            a.fillna("").to_numpy(dtype=object),
+            b.fillna("").to_numpy(dtype=object),
+        ),
+        dtype="float64",
     )
 
 
