@@ -194,3 +194,49 @@ def test_fs_link_tables_end_to_end(spark, planted):
         (f"a{i:02d}", f"b{i:02d}") for i in range(15)
     }
     assert all(r.match_prob >= 0.95 and r.match_weight > 0 for r in got)
+
+
+def test_u_from_random_pairs_corpus_calibrated(spark, planted):
+    """Corpus-random u must be far below the in-block DEFAULT_U for the
+    content fields (random pairs almost never agree on jaccard/lev/prefix),
+    deterministic across invocations, and EM with fixed_u must keep it
+    frozen while still separating planted matches."""
+    from translink.canonicalize import canonicalize
+    from translink.fellegi_sunter import fs_u_from_random_pairs
+
+    cfg = LinkConfig()
+    a, b = planted
+    ca, cb = canonicalize(a, cfg), canonicalize(b, cfg)
+    u1 = fs_u_from_random_pairs(ca, cb, cfg, sample_per_side=25)
+    u2 = fs_u_from_random_pairs(ca, cb, cfg, sample_per_side=25)
+    assert u1 == u2  # hash-ordered sample: reproducible, not RNG-dependent
+    # disjoint-vocabulary random pairs: agreement levels are ~never hit
+    assert u1["g_jac"][0] > 0.95 and u1["g_jac"][2] < 0.05
+    assert u1["g_lev"][2] < 0.5
+    assert u1["g_prefix"][1] < 0.05
+    # probability tables
+    for fld, levels in u1.items():
+        assert math.isclose(sum(levels), 1.0, rel_tol=1e-6), fld
+        assert all(0.0 < v < 1.0 for v in levels), fld
+
+    # EM with u frozen: u comes back EXACTLY as passed, m still learns
+    from translink.blocking import with_block_key
+    from translink.linkage import link_candidate_pairs
+    from translink.scoring import score_pairs
+    from translink.signatures import shingles_expr
+
+    def prep(c):
+        return with_block_key(c, cfg).withColumn(
+            "shingles", shingles_expr("canon_text", cfg.shingle_size)
+        )
+
+    pairs = link_candidate_pairs(
+        prep(ca), prep(cb), cfg,
+        payload_cols=["canon_text", "shingles", "total_chars"],
+    )
+    gammas = comparison_vectors(
+        score_pairs(pairs, cfg, include_jaro_winkler=False), cfg
+    )
+    fit = fs_em_fit(gammas, fixed_u=u1)
+    assert fit.u == u1
+    assert fit.m["g_jac"][2] > 0.5  # matches agree at the top band

@@ -42,7 +42,11 @@ candidate is a match, given it already collided in blocking" — not a
 corpus-wide one. That is the quantity a linkage decision inside this
 pipeline needs (only blocked pairs are ever decided on), but a
 ``min_match_prob`` threshold here is NOT comparable to thresholds from
-engines that estimate ``u`` on random cross-corpus pairs.
+engines that estimate ``u`` on random cross-corpus pairs. For that
+corpus-calibrated quantity, ``fs_u_from_random_pairs`` estimates u from
+a bounded deterministic sample of random cross pairs (the public Splink
+``estimate_u_using_random_sampling`` discipline) and
+``fs_em_fit(fixed_u=...)`` freezes it while EM fits m and λ.
 """
 
 from __future__ import annotations
@@ -260,10 +264,82 @@ def fs_em_fit(
     n_iter: int = 50,
     tol: float = 1e-9,
     init: FSParams | None = None,
+    fixed_u: dict[str, list[float]] | None = None,
 ) -> FSParams:
     """Unsupervised EM over a gamma DataFrame: one distributed pattern
     aggregation, then ``fs_em_from_counts`` driver arithmetic."""
-    return fs_em_from_counts(fs_pattern_counts(gammas), n_iter, tol, init)
+    return fs_em_from_counts(
+        fs_pattern_counts(gammas), n_iter, tol, init, fixed_u
+    )
+
+
+def fs_u_from_random_pairs(
+    a_canonical: DataFrame,
+    b_canonical: DataFrame,
+    cfg: LinkConfig | None = None,
+    sample_per_side: int = 320,
+    seed: int = 42,
+) -> dict[str, list[float]]:
+    """Estimate the u tables from corpus-RANDOM cross pairs, not blocked ones.
+
+    The EM's in-block u is conditioned on blocking agreement (module
+    docstring): informative for decisions among blocked candidates, but
+    biased high versus the corpus-wide non-match rate, so its posteriors
+    are not comparable to engines that calibrate u on random pairs (the
+    public Splink estimate_u_using_random_sampling discipline). This is
+    that other path: a deterministic hash-ordered sample of
+    ``sample_per_side`` records per side (zero-shuffle TakeOrdered over
+    xxhash64 — random with respect to content, reproducible across runs
+    and partitionings), crossed into ``sample_per_side²`` pairs, reduced
+    to comparison-vector level frequencies. Random cross pairs are
+    non-matches with overwhelming probability at corpus scale, so the
+    level frequencies ARE the u estimate (standard FS practice).
+
+    Scale shape: the sample is a bounded TakeOrderedAndProject per side
+    (default 320 rows — 102 400 pairs); the cross join multiplies two
+    ~320-row frames, never the corpora. Returns per-field u tables,
+    clipped to (_EPS, 1-_EPS), for ``FSParams(u=...)`` or
+    ``fs_em_fit(fixed_u=...)``.
+    """
+    from translink.scoring import score_pairs
+
+    cfg = cfg or LinkConfig()
+    k = max(int(sample_per_side), 2)
+
+    def side(c: DataFrame, suffix: str) -> DataFrame:
+        cols = ["conv_id", "canon_text", "total_chars"]
+        return (
+            c.select(*cols)
+            .orderBy(F.xxhash64(F.col("conv_id"), F.lit(seed)))
+            .limit(k)
+            .select(*[F.col(x).alias(f"{x}_{suffix}") for x in cols])
+        )
+
+    pairs = (
+        side(a_canonical, "a")
+        .crossJoin(side(b_canonical, "b"))
+        # self-pairs (shared ids across sides) are potential matches, not
+        # random non-matches; drop them from the estimate
+        .filter(F.col("conv_id_a") != F.col("conv_id_b"))
+    )
+    gammas = comparison_vectors(
+        score_pairs(pairs, cfg, include_jaro_winkler=False), cfg
+    )
+    agg = [F.count(F.lit(1)).alias("_n")]
+    for fld, n_levels in FIELDS.items():
+        for lvl in range(n_levels):
+            agg.append(
+                F.sum(F.when(F.col(fld) == lvl, 1).otherwise(0)).alias(
+                    f"{fld}_{lvl}"
+                )
+            )
+    row = gammas.agg(*agg).collect()[0]
+    total = float(row["_n"]) or 1.0
+    clip = lambda x: min(max(x, _EPS), 1.0 - _EPS)  # noqa: E731
+    return {
+        fld: [clip(row[f"{fld}_{lvl}"] / total) for lvl in range(n_levels)]
+        for fld, n_levels in FIELDS.items()
+    }
 
 
 def fs_em_from_counts(
@@ -271,6 +347,7 @@ def fs_em_from_counts(
     n_iter: int = 50,
     tol: float = 1e-9,
     init: FSParams | None = None,
+    fixed_u: dict[str, list[float]] | None = None,
 ) -> FSParams:
     """Unsupervised EM over (γ pattern, count) rows (Fellegi–Sunter §5 /
     the standard Splink formulation).
@@ -283,11 +360,20 @@ def fs_em_from_counts(
     (pure Python floats, fixed iteration order, no randomness) — this is
     what lets a DuckDB twin run the SAME EM and embed the converged
     weights as literals.
+
+    ``fixed_u`` freezes the u tables at an external estimate (e.g.
+    ``fs_u_from_random_pairs``) and EM fits only m and λ — the Splink
+    u-from-random-sampling discipline, which makes the posterior a
+    corpus-calibrated quantity instead of an in-block one.
     """
     counts = sorted(counts)
     params = init or FSParams()
     m = {k: list(v) for k, v in params.m.items()}
-    u = {k: list(v) for k, v in params.u.items()}
+    u = (
+        {k: list(v) for k, v in fixed_u.items()}
+        if fixed_u is not None
+        else {k: list(v) for k, v in params.u.items()}
+    )
     lam = params.lam
     total = float(sum(n for _, n in counts)) or 1.0
     keys = list(FIELDS)
@@ -314,7 +400,10 @@ def fs_em_from_counts(
                 new_u[k][lvl] += (1.0 - r) * n
         clip = lambda x: min(max(x, _EPS), 1.0 - _EPS)  # noqa: E731
         new_m = {k: [clip(v / wm) for v in new_m[k]] for k in keys}
-        new_u = {k: [clip(v / wu) for v in new_u[k]] for k in keys}
+        new_u = (
+            u if fixed_u is not None
+            else {k: [clip(v / wu) for v in new_u[k]] for k in keys}
+        )
         new_lam = clip(new_lam)
         delta = abs(new_lam - lam) + sum(
             abs(a - b)
@@ -334,6 +423,7 @@ def fs_link_tables(
     cfg: LinkConfig | None = None,
     params: FSParams | None = None,
     min_match_prob: float = 0.95,
+    u_mode: str = "blocked",
 ) -> DataFrame:
     """End-to-end probabilistic linkage of two corpora.
 
@@ -343,6 +433,12 @@ def fs_link_tables(
     driver EM), then pairs with posterior ≥ ``min_match_prob`` resolve to
     one-to-one matches (greedy mutual-best on the posterior). Returns
     ``(conv_id_a, conv_id_b, match_weight, match_prob)``.
+
+    ``u_mode`` picks the EM's u calibration (ignored when ``params`` is
+    given): ``"blocked"`` estimates u from the blocked pairs themselves
+    (posterior = in-block quantity, the default decision semantics);
+    ``"random"`` freezes u at ``fs_u_from_random_pairs`` so the posterior
+    and ``min_match_prob`` are corpus-calibrated (module docstring).
     """
     from translink.canonicalize import canonicalize
     from translink.blocking import with_block_key
@@ -365,10 +461,17 @@ def fs_link_tables(
     scored = score_pairs(pairs, cfg, include_jaro_winkler=False)
     gammas = comparison_vectors(scored, cfg)
     if params is None:
+        if u_mode not in ("blocked", "random"):
+            raise ValueError(f"unknown u_mode: {u_mode!r}")
+        fixed_u = (
+            fs_u_from_random_pairs(prep(a_turns), prep(b_turns), cfg)
+            if u_mode == "random"
+            else None
+        )
         # EM reads the tiny pattern aggregate; the gamma lineage then
         # re-runs once for scoring — localCheckpoint would trade memory
         # for that second pass at very large pair sets
-        params = fs_em_fit(gammas)
+        params = fs_em_fit(gammas, fixed_u=fixed_u)
     probd = fs_score(gammas, params).withColumn(
         "score", F.col("match_prob")
     )
