@@ -121,3 +121,49 @@ def test_jw_numpy_batch_parity_randomized():
     )
     exp = np.array([_jaro_winkler(s, t) for s, t in pairs])
     assert (got == exp).all()
+
+
+def test_cascade_edge_set_equivalent(spark):
+    """The two-stage cascade (jaccard lower bound before Levenshtein, then
+    perfect-JW bound before the JW kernel) must produce EXACTLY the edge
+    set of full scoring — including the byte-equal pair whose text is too
+    short to shingle (token_jaccard 0.0, score 1.0 via the exact path)."""
+    import random
+
+    cfg = LinkConfig()
+    rng = random.Random(99)
+    words = [f"w{i:03d}" for i in range(40)]
+    rows = [
+        ("x1", "x2", "hi", "hi"),                      # exact, empty shingles
+        ("y1", "y2", "one two three four", "one two three four"),
+    ]
+    for i in range(300):
+        a = " ".join(rng.choice(words) for _ in range(12))
+        r = rng.random()
+        if r < 0.4:
+            b = a
+        elif r < 0.8:  # mutate a few words: mid-range scores
+            b = " ".join(
+                w if rng.random() > 0.2 else rng.choice(words)
+                for w in a.split()
+            )
+        else:
+            b = " ".join(rng.choice(words) for _ in range(12))
+        rows.append((f"p{i}a", f"p{i}b", a, b))
+    pairs = spark.createDataFrame(
+        rows,
+        "conv_id_a string, conv_id_b string, "
+        "canon_text_a string, canon_text_b string",
+    )
+    from translink.scoring import edges
+
+    full = {
+        (r["src"], r["dst"])
+        for r in edges(score_pairs(pairs, cfg, cascade=False), cfg).collect()
+    }
+    casc = {
+        (r["src"], r["dst"])
+        for r in edges(score_pairs(pairs, cfg, cascade=True), cfg).collect()
+    }
+    assert ("x1", "x2") in full
+    assert casc == full

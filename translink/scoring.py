@@ -252,11 +252,16 @@ def score_pairs(
     the reference's early ``Duplicates`` termination,
     ``src/pipeline/mod.rs:92-95``).
 
-    ``cascade=True`` drops pairs whose token_jaccard already rules out
-    reaching ``cfg.threshold`` before Levenshtein/Jaro-Winkler run —
-    edge-set-equivalent to full scoring but skips the O(len^2) work for the
-    (vast) majority of candidate pairs. Use for edge generation; leave off
-    when every pair's full score is the deliverable.
+    ``cascade=True`` runs the reference's cheap-to-expensive discipline in
+    two stages: pairs whose token_jaccard already rules out reaching
+    ``cfg.threshold`` drop before Levenshtein runs, and pairs whose
+    jaccard+Levenshtein blend cannot reach it even with a PERFECT
+    Jaro-Winkler drop before the (pandas-UDF) JW runs. Byte-equal pairs
+    are exempt from both drops (they score 1.0 regardless of components —
+    an empty-shingle exact pair has token_jaccard 0.0). Edge-set-
+    equivalent to full scoring but skips the O(len^2) work for the (vast)
+    majority of candidate pairs. Use for edge generation; leave off when
+    every pair's full score is the deliverable.
     """
     cfg = cfg or LinkConfig()
     exact = F.col("canon_text_a") == F.col("canon_text_b")
@@ -267,12 +272,25 @@ def score_pairs(
     scored = pairs.withColumn("token_jaccard", jac)
     if cascade:
         scored = scored.filter(
-            F.col("token_jaccard")
-            >= jaccard_lower_bound(cfg, include_jaro_winkler)
+            exact
+            | (
+                F.col("token_jaccard")
+                >= jaccard_lower_bound(cfg, include_jaro_winkler)
+            )
         )
     scored = scored.withColumns({
         "levenshtein_sim": levenshtein_sim_expr(cfg.lev_text_cap),
     })
+    if cascade and include_jaro_winkler:
+        # stage 2: assume a perfect JW; a pair that still cannot clear the
+        # threshold never needs the (most expensive) kernel at all
+        w_sum = cfg.w_jaccard + cfg.w_levenshtein + cfg.w_jaro_winkler
+        best_possible = (
+            F.col("token_jaccard") * cfg.w_jaccard
+            + F.col("levenshtein_sim") * cfg.w_levenshtein
+            + F.lit(cfg.w_jaro_winkler)
+        ) / w_sum
+        scored = scored.filter(exact | (best_possible >= cfg.threshold))
     if include_jaro_winkler:
         jw = F.when(exact, F.lit(1.0)).otherwise(
             jaro_winkler_udf(
