@@ -100,6 +100,18 @@ def prepare_variants(input_path: str, n_variants: int, out_path: str) -> str:
 DEFAULT_SHUFFLE_DIR = "/tmp/translink-shuffle-disk"
 
 
+def _membw_stamp(size_mb: int = 128, reps: int = 2) -> dict:
+    """Quick STREAM-triad probe at 8 and 32 workers (GB/s, one decimal).
+
+    Deliberately smaller than scripts/bench_membw.py's standing-stamp
+    protocol — this is a weather reading bracketing the sweep, not the
+    ceiling measurement BASELINE.md cites.
+    """
+    from scripts.bench_membw import measure
+
+    return {str(w): round(measure(w, size_mb, reps), 1) for w in (8, 32)}
+
+
 def _clean_scratch(shuffle_dir: str = DEFAULT_SHUFFLE_DIR) -> None:
     """tmpfs scratch shares physical RAM with the JVM — leftovers from a
     previous (possibly killed) run will OOM the next one."""
@@ -185,6 +197,15 @@ def main() -> None:
     if len(levels) < 2:
         raise SystemExit("need at least two parallelism levels")
 
+    # Stamp the DRAM ceiling immediately before AND after the sweep: a
+    # multi-hour run on a shared box can start healthy and degrade mid-sweep
+    # (observed 2026-08-19: the 32c leg's bandwidth-bound stage collapsed
+    # 3.5x while the 8c/16c legs were fine). Two stamps make such a run
+    # self-identify in its own artifact instead of needing a separate
+    # weather log.
+    probe_before = _membw_stamp()
+    print(f"membw before sweep: {probe_before}")
+
     input_path = args.input or ensure_input(
         args.profile, os.path.join(REPO, "BENCH", f"input_{args.profile}")
     )
@@ -233,8 +254,13 @@ def main() -> None:
             "error_pct": round(100.0 * (meas - pred) / pred, 1),
         })
 
+    probe_after = _membw_stamp()
+    print(f"membw after sweep: {probe_after}")
+
     report = {
         "levels": {str(c): results[c] for c in levels},
+        "membw_gbps": {"before_sweep": probe_before,
+                       "after_sweep": probe_after},
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
         "amdahl_fit": {

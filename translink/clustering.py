@@ -158,7 +158,10 @@ def connected_components(
     # setting — it consumes the real upstream edge lineage
     e, prev = _observed_checkpoint(_canonical_edges(edges))
     session_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_sp = max(16, min(int(session_sp), int(prev[0]) // 100_000 + 1))
+    # never EXCEED the session setting: at a tiny session value (unit tests
+    # run at 4) the old max-outside form inverted the clamp and raised the
+    # loop to 16 tasks on a 4-slot session
+    loop_sp = min(int(session_sp), max(16, int(prev[0]) // 100_000 + 1))
     converged = False
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))

@@ -91,9 +91,9 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos, ihdr, plte, idat = 8, None, None, []
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack(">I4s", payload[pos:pos + 8])
-        data = payload[pos + 8:pos + 8 + length]
-        if len(data) < length:
+        if pos + 12 + length > len(payload):  # data + 4-byte CRC must fit
             raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8:pos + 8 + length]
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != struct.unpack(
             ">I", payload[pos + 8 + length:pos + 12 + length]
         )[0]:
@@ -119,7 +119,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     nch = _PNG_CHANNELS[color]
     stride = w * nch
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:  # corrupt stream = malformed bytes, not
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG pixel payload has wrong length")
     out = np.empty((h, stride), dtype=np.uint8)
