@@ -265,3 +265,204 @@ def test_real_decode_rejects_non_png(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image_batch(pd.Series([b"GIF89a..."]), fake=False)
+
+
+# ---------------------------------------------------------------------------
+# Real BMP codec (pure-stdlib decode_bmp/encode_bmp)
+# ---------------------------------------------------------------------------
+
+def test_bmp_round_trip_and_row_order():
+    """encode→decode is the identity for bottom-up (default) and top-down
+    row order, including widths whose stride needs padding."""
+    import numpy as np
+
+    from translink.multimodal import decode_bmp, encode_bmp
+
+    for shape in [(5, 7, 3), (4, 4, 3), (3, 5, 3)]:  # 7*3=21 pads to 24
+        img = _seeded_img(shape, seed=shape[1])
+        for top_down in (False, True):
+            out = decode_bmp(encode_bmp(img, top_down=top_down))
+            assert out.shape == img.shape
+            assert np.array_equal(out, img), (shape, top_down)
+
+
+def test_bmp_paletted_decode():
+    """8-bit paletted BMP expands BGRA palette quads to RGB."""
+    import struct
+
+    import numpy as np
+
+    from translink.multimodal import decode_bmp
+
+    # hand-build a 2x2 8-bit BMP: indices [[0,1],[1,0]], palette R/G (BGRA)
+    pal = bytes([0, 0, 255, 0]) + bytes([0, 255, 0, 0])  # red, green
+    # bottom-up rows, stride pads 2 bytes -> 4
+    pix = bytes([1, 0, 0, 0]) + bytes([0, 1, 0, 0])  # bottom row first
+    data_off = 14 + 40 + len(pal)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, len(pix),
+                       2835, 2835, 2, 0)
+    bmp = struct.pack("<2sIHHI", b"BM", data_off + len(pix), 0, 0,
+                      data_off) + info + pal + pix
+    img = decode_bmp(bmp)
+    assert img.shape == (2, 2, 3)
+    assert np.array_equal(img[0, 0], [255, 0, 0])   # top row from 2nd record
+    assert np.array_equal(img[0, 1], [0, 255, 0])
+    assert np.array_equal(img[1, 0], [0, 255, 0])
+
+
+def test_bmp_malformed_and_unsupported():
+    import struct
+
+    import pytest
+
+    from translink.multimodal import decode_bmp, encode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bmp")
+    good = bytearray(encode_bmp(_seeded_img((4, 4, 3))))
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(good[:40]))       # truncated header
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(good[:-8]))       # truncated pixel data
+    # RLE compression: valid header, out of scope
+    rle = bytearray(good)
+    rle[30:34] = struct.pack("<I", 1)
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(rle))
+    # 32-bit depth: out of scope
+    b32 = bytearray(good)
+    b32[28:30] = struct.pack("<H", 32)
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(b32))
+
+
+def test_extract_features_real_bmp_and_mixed(spark):
+    """fake_decode=False over a MIXED table of real PNGs and BMPs: the
+    kernel dispatches per payload by sniffed container; identical pixels
+    hash identically ACROSS the two containers (hash covers decoded
+    pixels, not encoded bytes)."""
+    from translink.multimodal import (
+        ASSET_SCHEMA, encode_bmp, encode_png, extract_features,
+    )
+
+    img = _seeded_img((9, 6, 3), seed=11)
+    rows = [(0, "image", encode_png(img), "s"),
+            (1, "image", encode_bmp(img), "s"),
+            (2, "image", encode_bmp(_seeded_img((5, 5, 3), seed=2)), "s")]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(2)
+    feats = {r["asset_id"]: r
+             for r in extract_features(assets, fake_decode=False).collect()}
+    assert feats[1]["magic"] == "bmp"
+    assert (feats[1]["height"], feats[1]["width"]) == (9, 6)
+    assert feats[0]["feature_hash"] == feats[1]["feature_hash"]
+    assert feats[2]["feature_hash"] != feats[1]["feature_hash"]
+
+
+# ---------------------------------------------------------------------------
+# Real WAV codec (pure-stdlib decode_wav/encode_wav)
+# ---------------------------------------------------------------------------
+
+def test_wav_round_trip():
+    """encode→decode is the identity for 8-bit mono and 16-bit stereo,
+    and the sample rate survives."""
+    import numpy as np
+
+    from translink.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(5)
+    mono8 = rng.integers(0, 256, size=301, dtype=np.uint8)  # odd data len
+    out, rate = decode_wav(encode_wav(mono8, sample_rate=8000))
+    assert rate == 8000 and out.shape == (301, 1)
+    assert np.array_equal(out[:, 0], mono8)
+    stereo16 = rng.integers(-32768, 32768, size=(200, 2)).astype(np.int16)
+    out, rate = decode_wav(encode_wav(stereo16, sample_rate=44100))
+    assert rate == 44100 and out.shape == (200, 2)
+    assert np.array_equal(out, stereo16)
+
+
+def test_wav_malformed_and_unsupported():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from translink.multimodal import decode_wav, encode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00AVI data")
+    good = bytearray(encode_wav(np.zeros(64, dtype=np.int16)))
+    with pytest.raises(ValueError):
+        decode_wav(bytes(good[:30]))       # truncated chunk
+    # float PCM (format tag 3): valid container, out of scope
+    f32 = bytearray(good)
+    f32[20:22] = struct.pack("<H", 3)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(f32))
+    # 24-bit: out of scope (block_align patched to stay consistent)
+    b24 = bytearray(good)
+    b24[34:36] = struct.pack("<H", 24)
+    b24[32:34] = struct.pack("<H", 3)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(b24))
+    # inconsistent block_align: malformed
+    bad = bytearray(good)
+    bad[32:34] = struct.pack("<H", 7)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_sniff_magic_riff_forms():
+    from translink.multimodal import sniff_magic
+
+    assert sniff_magic(b"RIFF\x10\x00\x00\x00WAVEfmt ") == "wav"
+    assert sniff_magic(b"RIFF\x10\x00\x00\x00AVI LIST") == "avi"
+    assert sniff_magic(b"RIFF\x10\x00\x00\x00XXXX") == "riff"
+    assert sniff_magic(b"BM\x36\x00") == "bmp"
+
+
+def test_chunk_audio_real_wav(spark):
+    """fake_decode=False over real WAVs: window/hop derive from each
+    stream's own sample rate, timestamps are frame-accurate, and the same
+    samples at a different rate produce different timing but digests that
+    match per-window content."""
+    import numpy as np
+
+    from translink.multimodal import ASSET_SCHEMA, chunk_audio, encode_wav
+
+    rng = np.random.default_rng(9)
+    pcm = rng.integers(-32768, 32768, size=3200, dtype=np.int16)  # 200ms@16k
+    rows = [(0, "audio", encode_wav(pcm, sample_rate=16000), "s"),
+            (1, "audio", encode_wav(pcm, sample_rate=8000), "s"),
+            (2, "audio", encode_wav(pcm, sample_rate=16000), "dup")]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(2)
+    got = chunk_audio(assets, window_ms=100, hop_ms=50,
+                      fake_decode=False).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["asset_id"], []).append(r)
+    a0 = sorted(per[0], key=lambda r: r["chunk_idx"])
+    # 3200 frames @16k = 200ms; hop 50ms=800f -> offsets 0,800,1600,2400
+    assert [r["start_ms"] for r in a0] == [0, 50, 100, 150]
+    assert a0[0]["end_ms"] == 100
+    assert a0[-1]["end_ms"] == 200  # tail window truncates at stream end
+    # same bytes at 8k = 400ms of audio -> twice the windows
+    assert len(per[1]) == 8
+    # planted duplicate: identical chunk digests
+    seq = lambda aid: sorted((r["chunk_idx"], r["chunk_hash"]) for r in per[aid])
+    assert seq(2) == seq(0)
+    # window digests cover decoded PCM: asset 1's FIRST window (100ms@8k =
+    # 800 frames) equals asset 0's first window (100ms@16k = 1600 frames)
+    # only if content matched — different frame counts, so they differ
+    h0 = {r["chunk_idx"]: r["chunk_hash"] for r in per[0]}
+    h1 = {r["chunk_idx"]: r["chunk_hash"] for r in per[1]}
+    assert h0[0] != h1[0]
+
+
+def test_chunk_audio_real_rejects_non_wav(spark):
+    import pytest
+
+    from translink.multimodal import chunk_audio, synthetic_assets
+
+    assets = synthetic_assets(spark, n=4)
+    with pytest.raises(Exception, match="audio codec|WAVE"):
+        chunk_audio(assets, fake_decode=False).collect()

@@ -6,13 +6,16 @@ kernels so each partition streams through Python in bounded batches (the
 Spark analog of the reference's MIME magic-number detection and
 content-structure analysis, ``src/pipeline/quick_check.rs:292-370``).
 
-Codecs: PNG decodes FOR REAL via a pure-stdlib decoder (``decode_png``:
-zlib inflate + per-scanline unfilter, straight from the public PNG spec /
-RFC 2083 — no image library needed). Other containers (jpeg/gif/audio/
-video) remain STUBBED: ``decode_image_batch`` raises NotImplementedError
-for them unless the deterministic fake decoder is requested. Everything
-around the codec boundary — schema, partitioning, UDF signatures, batch
-iteration, metadata extraction — is real and tested either way.
+Codecs: PNG and BMP decode FOR REAL via pure-stdlib decoders
+(``decode_png``: zlib inflate + per-scanline unfilter, straight from the
+public PNG spec / RFC 2083; ``decode_bmp``: uncompressed BITMAPINFOHEADER
+8/24-bit per the public BMP format), and WAV audio decodes FOR REAL via
+``decode_wav`` (RIFF/WAVE 8/16-bit PCM) — no media library needed. Other
+containers (jpeg/gif/video) remain STUBBED: the decode kernels raise
+NotImplementedError for them unless the deterministic fake decoder is
+requested. Everything around the codec boundary — schema, partitioning,
+UDF signatures, batch iteration, metadata extraction — is real and tested
+either way.
 """
 
 from __future__ import annotations
@@ -54,7 +57,7 @@ _MAGIC = [
     (b"\xff\xd8\xff", "jpeg"),
     (b"\x89PNG", "png"),
     (b"GIF8", "gif"),
-    (b"RIFF", "riff"),
+    (b"BM", "bmp"),
     (b"OggS", "ogg"),
     (b"\x1aE\xdf\xa3", "matroska"),
     (b"ID3", "mp3"),
@@ -64,6 +67,14 @@ _MAGIC = [
 def sniff_magic(payload: bytes | None) -> str | None:
     if not payload:
         return None
+    if payload.startswith(b"RIFF"):
+        # RIFF is a container family: the form type at offset 8 names it.
+        sub = payload[8:12]
+        if sub == b"WAVE":
+            return "wav"
+        if sub == b"AVI ":
+            return "avi"
+        return "riff"
     for sig, name in _MAGIC:
         if payload.startswith(sig):
             return name
@@ -221,11 +232,175 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-stdlib BMP decoder (uncompressed BITMAPINFOHEADER, per the
+    public BMP file format).
+
+    Supports the common on-disk shapes: 24-bit BGR and 8-bit paletted,
+    compression BI_RGB (0), bottom-up or top-down row order. Returns an
+    ``(h, w, 3)`` uint8 RGB array. Raises ``ValueError`` for malformed
+    bytes and ``NotImplementedError`` for valid-but-unsupported variants
+    (RLE compression, 1/4/16/32-bit, BITMAPCOREHEADER) — same corrupt vs
+    out-of-scope taxonomy as ``decode_png``.
+    """
+    if len(payload) < 2 or payload[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError(
+            f"BMP header size {hdr_size} not supported (BITMAPINFOHEADER+)"
+        )
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    _planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if w <= 0 or h_signed == 0:
+        raise ValueError(f"BMP dimensions {w}x{h_signed} invalid")
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression {compression} not supported (BI_RGB only)"
+        )
+    if bpp not in (8, 24):
+        raise NotImplementedError(f"BMP {bpp}-bit not supported (8/24-bit)")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    stride = (w * bpp // 8 + 3) & ~3  # rows pad to 4-byte boundaries
+    if data_offset + stride * h > len(payload):
+        raise ValueError("BMP pixel payload truncated")
+    rows = np.frombuffer(
+        payload, np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)
+    if bpp == 24:
+        img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    else:
+        n_colors = struct.unpack("<I", payload[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        if pal_off + n_colors * 4 > data_offset or n_colors > 256:
+            raise ValueError("BMP palette truncated or oversized")
+        pal = np.frombuffer(
+            payload, np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA quads -> RGB
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP pixel index outside palette")
+        img = pal[idx]
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def encode_bmp(img: np.ndarray, top_down: bool = False) -> bytes:
+    """Minimal 24-bit uncompressed BMP encoder — the fixture/round-trip
+    counterpart of ``decode_bmp``. ``img`` is ``(h, w, 3)`` RGB or
+    ``(h, w)`` gray (broadcast to RGB)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[:, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+    if not top_down:
+        rows = rows[::-1]
+    pix = rows.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+        len(pix), 2835, 2835, 0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    return header + info + pix
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-stdlib RIFF/WAVE PCM decoder (public WAVE format).
+
+    Supports integer PCM (format tag 1) at 8-bit unsigned / 16-bit signed
+    little-endian, any channel count. Returns ``(samples, sample_rate)``
+    with ``samples`` shaped ``(n_frames, n_channels)`` (uint8 or int16).
+    Raises ``ValueError`` for malformed bytes and ``NotImplementedError``
+    for valid-but-unsupported variants (float/ADPCM, 24/32-bit).
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack("<4sI", payload[pos:pos + 8])
+        body = payload[pos + 8:pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError(f"truncated WAVE chunk {cid!r}")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("WAVE fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format, n_ch, rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"WAVE format tag {audio_format} not supported (integer PCM only)"
+        )
+    if bits not in (8, 16):
+        raise NotImplementedError(f"WAVE {bits}-bit not supported (8/16-bit)")
+    if n_ch < 1 or rate < 1:
+        raise ValueError(f"WAVE channels={n_ch} rate={rate} invalid")
+    frame_bytes = n_ch * (bits // 8)
+    if block_align != frame_bytes:
+        raise ValueError(
+            f"WAVE block_align {block_align} inconsistent with "
+            f"{n_ch}ch x {bits}-bit"
+        )
+    n_frames = len(data) // frame_bytes
+    dt = np.uint8 if bits == 8 else np.dtype("<i2")
+    samples = np.frombuffer(
+        data[: n_frames * frame_bytes], dtype=dt
+    ).reshape(n_frames, n_ch)
+    return samples, int(rate)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE PCM encoder — the fixture/round-trip counterpart
+    of ``decode_wav``. ``samples`` is ``(n_frames,)`` or ``(n_frames,
+    n_channels)`` uint8 (8-bit) or int16 (16-bit)."""
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2:
+        raise ValueError(f"unsupported sample shape {samples.shape}")
+    if samples.dtype == np.uint8:
+        bits = 8
+    elif samples.dtype == np.int16:
+        bits = 16
+    else:
+        raise ValueError(f"unsupported sample dtype {samples.dtype}")
+    n_frames, n_ch = samples.shape
+    data = np.ascontiguousarray(
+        samples.astype("<i2") if bits == 16 else samples
+    ).tobytes()
+    frame_bytes = n_ch * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * frame_bytes,
+        frame_bytes, bits,
+    )
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
     """Decode a batch of image payloads to (width, height, feature_hash).
 
-    The real path (``fake=False``) decodes PNG payloads with the
-    pure-stdlib ``decode_png`` (dims from IHDR, feature hash over the
+    The real path (``fake=False``) decodes PNG and BMP payloads with the
+    pure-stdlib ``decode_png``/``decode_bmp`` (feature hash over the
     DECODED pixel array) and raises NotImplementedError for containers
     with no codec in this environment (jpeg/gif/...). With ``fake=True``
     the deterministic stand-in derives dims and a feature hash from the
@@ -238,13 +413,7 @@ def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
             widths.append(None); heights.append(None); hashes.append(None)
             continue
         if not fake:
-            if sniff_magic(p) != "png":
-                raise NotImplementedError(
-                    f"no {sniff_magic(p)} codec in this environment; only "
-                    "PNG decodes for real — pass fake=True for the "
-                    "deterministic stand-in decoder"
-                )
-            img = decode_png(p)
+            img = _decode_image_real(p)
             heights.append(int(img.shape[0]))
             widths.append(int(img.shape[1]))
             hashes.append(_hash_u8(img))
@@ -329,6 +498,20 @@ CHUNK_SCHEMA = StructType([
 ])
 
 
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """Dispatch to the real pure-stdlib codec by sniffed container; raises
+    NotImplementedError for containers with no codec in this environment."""
+    magic = sniff_magic(payload)
+    if magic == "png":
+        return decode_png(payload)
+    if magic == "bmp":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        f"no {magic} codec in this environment; only PNG/BMP decode for "
+        "real — pass the fake flag for the deterministic stand-in decoder"
+    )
+
+
 def _fake_decode_gray(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for an image codec: tile the payload bytes
     into a square uint8 grayscale array. The ONLY fake step — everything
@@ -362,11 +545,12 @@ def resize_images(
 
     The resample is REAL numpy index arithmetic (the operation a training
     pipeline runs before feature extraction). With ``fake_decode=False``
-    PNG payloads decode for real (``decode_png``; multi-channel images
-    collapse to grayscale by integer channel mean) and other containers
-    raise; the fake path decodes any bytes deterministically. Identical
-    payloads produce identical thumbs and hashes either way, so
-    near-dup-by-thumbnail composes with dedup_by_feature."""
+    PNG/BMP payloads decode for real (``decode_png``/``decode_bmp``;
+    multi-channel images collapse to grayscale by integer channel mean)
+    and other containers raise; the fake path decodes any bytes
+    deterministically. Identical payloads produce identical thumbs and
+    hashes either way, so near-dup-by-thumbnail composes with
+    dedup_by_feature."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -383,13 +567,7 @@ def resize_images(
                 if fake_decode:
                     img = _fake_decode_gray(p)
                 else:
-                    if sniff_magic(p) != "png":
-                        raise NotImplementedError(
-                            f"no {sniff_magic(p)} codec in this "
-                            "environment; only PNG decodes for real — "
-                            "pass fake_decode=True for the stand-in"
-                        )
-                    img = decode_png(p)
+                    img = _decode_image_real(p)
                     if img.ndim == 3:
                         # integer channel mean: deterministic, no float
                         img = (
@@ -459,15 +637,13 @@ def chunk_audio(
     fake_decode: bool = True,
 ) -> DataFrame:
     """Overlapping-window audio segmentation: one row per window with
-    byte-offset-derived timestamps and a content digest. Real windowing
-    arithmetic (window/hop in ms over a PCM-rate byte stream) around the
-    fake codec boundary; window overlap means output bytes exceed input
-    bytes — the kernel streams, never materializing a whole partition."""
-    if not fake_decode:
-        raise NotImplementedError(
-            "no audio codec in this environment; pass fake_decode=True for "
-            "the deterministic stand-in decoder"
-        )
+    timestamps and a content digest. With ``fake_decode=False`` payloads
+    decode FOR REAL as RIFF/WAVE PCM (``decode_wav``): window/hop ms map
+    to frame counts via the stream's own sample rate (``bytes_per_ms`` is
+    ignored) and digests cover decoded PCM frames; other containers raise.
+    The fake path windows the raw bytes at ``bytes_per_ms``. Window
+    overlap means output bytes exceed input bytes — the kernel streams,
+    never materializing a whole partition."""
     win_b = max(int(window_ms * bytes_per_ms), 1)
     hop_b = max(int(hop_ms * bytes_per_ms), 1)
 
@@ -478,14 +654,34 @@ def chunk_audio(
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                 if p is None or len(p) == 0:
                     continue
-                for ci, off in enumerate(range(0, len(p), hop_b)):
-                    chunk = np.frombuffer(p[off:off + win_b], dtype=np.uint8)
-                    if chunk.size == 0:
+                if fake_decode:
+                    for ci, off in enumerate(range(0, len(p), hop_b)):
+                        chunk = np.frombuffer(p[off:off + win_b], dtype=np.uint8)
+                        if chunk.size == 0:
+                            break
+                        out["asset_id"].append(aid)
+                        out["chunk_idx"].append(ci)
+                        out["start_ms"].append(int(off / bytes_per_ms))
+                        out["end_ms"].append(int((off + chunk.size) / bytes_per_ms))
+                        out["chunk_hash"].append(_hash_u8(chunk))
+                    continue
+                if sniff_magic(p) != "wav":
+                    raise NotImplementedError(
+                        f"no {sniff_magic(p)} audio codec in this "
+                        "environment; only RIFF/WAVE PCM decodes for real "
+                        "— pass fake_decode=True for the stand-in"
+                    )
+                samples, rate = decode_wav(p)
+                win_f = max(rate * window_ms // 1000, 1)
+                hop_f = max(rate * hop_ms // 1000, 1)
+                for ci, off in enumerate(range(0, len(samples), hop_f)):
+                    chunk = samples[off:off + win_f]
+                    if chunk.shape[0] == 0:
                         break
                     out["asset_id"].append(aid)
                     out["chunk_idx"].append(ci)
-                    out["start_ms"].append(int(off / bytes_per_ms))
-                    out["end_ms"].append(int((off + chunk.size) / bytes_per_ms))
+                    out["start_ms"].append(off * 1000 // rate)
+                    out["end_ms"].append((off + chunk.shape[0]) * 1000 // rate)
                     out["chunk_hash"].append(_hash_u8(chunk))
             yield pd.DataFrame(out)
 
