@@ -1350,6 +1350,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["link_fs_matches"] = q_link_fs_matches
 
+    def q_mm_image_features(spark, sf_dir):
+        """Multimodal image lane end-to-end on REAL containers: documents
+        derive a deterministic PNG asset table map-side
+        (assets_from_documents tiles each text's UTF-8 bytes into a 24x24
+        gray image, pure-stdlib encode), then the distributed real-decode
+        kernel (extract_features fake_decode=False) returns dims from IHDR
+        and a digest of the DECODED pixels. Reference analog: MIME
+        magic detection + content fingerprinting over scanned files
+        (src/pipeline/quick_check.rs:292-330). Rows-only — zlib/blake2b
+        have no SQL twin; tests/test_multimodal.py pins codec round-trips
+        and the corrupt-vs-unsupported error taxonomy."""
+        from translink.multimodal import assets_from_documents, extract_features
+        assets = assets_from_documents(_docs(spark, sf_dir), media_type="image")
+        return extract_features(assets, fake_decode=False)
+    q["mm_image_features"] = q_mm_image_features
+
+    def q_mm_audio_chunks(spark, sf_dir):
+        """Multimodal audio lane: documents -> deterministic 8-bit PCM
+        RIFF/WAVE payloads -> real decode_wav with overlapping windows
+        timed by the stream's own sample rate (chunk_audio
+        fake_decode=False). Output cardinality grows past the input's (one
+        row per window). Rows-only; windowing arithmetic and codec
+        round-trip pinned in tests/test_multimodal.py."""
+        from translink.multimodal import assets_from_documents, chunk_audio
+        # 1 kHz 8-bit PCM = 1 byte/ms, so a median ~300-char doc spans
+        # ~300 ms -> ~6 overlapping windows; cardinality varies per doc.
+        assets = assets_from_documents(
+            _docs(spark, sf_dir), media_type="audio", sample_rate=1000
+        )
+        return chunk_audio(assets, window_ms=100, hop_ms=50, fake_decode=False)
+    q["mm_audio_chunks"] = q_mm_audio_chunks
+
     # Driver-coverage ordering: the correctness harness sweeps queries in
     # registration order and round 3 showed it stops near ~50 entries, so
     # the queries that have never received a CORRECTNESS_r{n}.json entry
@@ -1357,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the long-green round-1/2 set follows in its original order. Pure
     # reordering — every (name, callable) pair is unchanged.
     never_checked = [
+        "mm_image_features", "mm_audio_chunks",
         "link_matches", "link_fs_scores", "link_fs_matches",
         "emb_dup_pairs", "emb_dup_clusters", "emb_semantic_dedup",
         "pipeline_clusters_full", "dedup_stats",

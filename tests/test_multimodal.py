@@ -466,3 +466,42 @@ def test_chunk_audio_real_rejects_non_wav(spark):
     assets = synthetic_assets(spark, n=4)
     with pytest.raises(Exception, match="audio codec|WAVE"):
         chunk_audio(assets, fake_decode=False).collect()
+
+
+def test_assets_from_documents_deterministic_real_decode(spark):
+    """Documents-derived asset table: payloads are REAL containers built
+    map-side; identical text -> identical payload (multimodal dedup
+    composes with text dedup); the real codec path decodes every row."""
+    from translink.multimodal import (
+        assets_from_documents, chunk_audio, dedup_by_feature,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "hello world " * 20, "en", "a", 240),
+         (1, "other text " * 30, "en", "b", 330),
+         (2, "hello world " * 20, "en", "c", 240),  # dup of 0
+         (3, None, None, "d", 0)],                   # NULL text
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).repartition(2)
+    feats = extract_features(
+        assets_from_documents(docs, media_type="image"), fake_decode=False
+    )
+    by_id = {r["asset_id"]: r for r in feats.collect()}
+    assert len(by_id) == 4
+    assert all(r["magic"] == "png" and r["width"] == 24 for r in by_id.values())
+    assert by_id[0]["feature_hash"] == by_id[2]["feature_hash"]
+    assert by_id[0]["feature_hash"] != by_id[1]["feature_hash"]
+    got = {(r["asset_id"], r["cluster_id"])
+           for r in dedup_by_feature(feats).collect()}
+    assert got == {(0, 0), (2, 0)}
+    # audio lane: same docs as WAV PCM; real decode; dup shares digests
+    chunks = chunk_audio(
+        assets_from_documents(docs, media_type="audio", sample_rate=1000),
+        window_ms=100, hop_ms=50, fake_decode=False,
+    ).collect()
+    per = {}
+    for r in chunks:
+        per.setdefault(r["asset_id"], []).append((r["chunk_idx"], r["chunk_hash"]))
+    assert sorted(per[0]) == sorted(per[2])
+    assert len(per[0]) >= 4  # 240 bytes @1kHz = 240ms -> overlapping windows

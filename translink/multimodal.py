@@ -688,6 +688,52 @@ def chunk_audio(
     return assets.mapInPandas(kernel, schema=CHUNK_SCHEMA)
 
 
+def assets_from_documents(
+    docs: DataFrame,
+    media_type: str = "image",
+    image_side: int = 24,
+    audio_bytes: int = 4000,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic asset table derived from a documents table (doc_id,
+    text): each document's UTF-8 bytes tile into a small grayscale image
+    that is PNG-encoded (``media_type="image"``) or reinterpret as 8-bit
+    PCM frames that are WAV-encoded (``media_type="audio"``).
+
+    The payloads are REAL containers built map-side in bounded Arrow
+    batches, so the real codec path (``extract_features``/``chunk_audio``
+    with the fake flag off) decodes them downstream; identical text
+    yields identical payloads, so multimodal dedup composes with the
+    text-dedup lanes. This is the multimodal analog of the reference
+    deriving its work items from the scanned corpus rather than a
+    side-channel fixture."""
+    if media_type not in ("image", "audio"):
+        raise ValueError(f"media_type {media_type!r} not in image|audio")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                b = (text or "").encode("utf-8") or b"\x00"
+                arr = np.frombuffer(b, dtype=np.uint8)
+                if media_type == "image":
+                    img = np.resize(arr, (image_side, image_side))
+                    payloads.append(encode_png(img))
+                else:
+                    pcm = np.resize(arr, (min(len(b), audio_bytes),))
+                    payloads.append(encode_wav(pcm, sample_rate=sample_rate))
+            yield pd.DataFrame({
+                "asset_id": pdf["doc_id"],
+                "media_type": media_type,
+                "payload": payloads,
+                "source": pdf["source"],
+            })
+
+    return docs.select("doc_id", "text", "source").mapInPandas(
+        kernel, schema=ASSET_SCHEMA
+    )
+
+
 def synthetic_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake asset table for tests (seeded bytes; a few planted
     byte-identical duplicates and recognizable magic headers)."""
