@@ -213,9 +213,9 @@ blocked AS (
 salted AS (
   SELECT *,
          CAST(count(*) OVER (PARTITION BY block_key) AS BIGINT) AS block_size,
-         CAST((row_number() OVER (PARTITION BY block_key ORDER BY conv_id) - 1)
-              % CAST(ceil(count(*) OVER (PARTITION BY block_key)
-                          / {CFG.max_block_size}.0) AS BIGINT) AS INT) AS salt
+         CAST(floor((row_number() OVER (PARTITION BY block_key
+                                        ORDER BY canon_text, conv_id) - 1)
+                    / {CFG.max_block_size}) AS INT) AS salt
   FROM blocked
 ),
 cand_pairs AS (
@@ -240,7 +240,7 @@ def _spark_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed = with_block_key(_spark_canonical(spark, sf_dir), CFG).withColumn(
         "shingles", shingles_expr("canon_text", CFG.shingle_size)
     )
-    return with_salt(signed, ["block_key"], CFG)
+    return with_salt(signed, ["block_key"], CFG, order_cols=["canon_text"])
 
 
 def _spark_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,10 +311,9 @@ link_tagged AS (
 ),
 link_salted AS (
   SELECT *,
-         CAST((row_number() OVER (PARTITION BY block_key
-                                  ORDER BY concat(side, '#', conv_id)) - 1)
-              % CAST(ceil(count(*) OVER (PARTITION BY block_key)
-                          / {CFG.max_block_size}.0) AS BIGINT) AS INT) AS salt
+         CAST(floor((row_number() OVER (PARTITION BY block_key
+                                        ORDER BY canon_text, conv_id, side)
+                     - 1) / {CFG.max_block_size}) AS INT) AS salt
   FROM link_tagged
 ),
 cand_pairs AS (
@@ -408,6 +407,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _spark_salted(spark, sf_dir), CFG, payload_cols=[]
         ).select("conv_id_a", "conv_id_b", "block_key", "salt")
     q["candidate_pairs"] = q_pairs
+
+    # -- blocking-quality evaluation (Christen 2012 ch. 7) -----------------
+    def q_blocking_eval(spark, sf_dir):
+        """Pairs completeness / pairs quality of the engine's salted
+        attribute blocking against the corpus's PLANTED true pairs (every
+        ``<conv>``/``<conv>_dup`` and ``<conv>``/``<conv>_nd`` twin the
+        derivation creates). One full-outer pair join + one aggregate."""
+        from translink.evaluate import blocking_quality_frame
+
+        cand = candidate_pairs(
+            _spark_salted(spark, sf_dir), CFG, payload_cols=[]
+        ).select("conv_id_a", "conv_id_b")
+        conv = _spark_canonical(spark, sf_dir).select("conv_id")
+        truth = (
+            conv.filter(F.col("conv_id").endswith("_dup")).select(
+                F.expr("substring(conv_id, 1, length(conv_id) - 4)")
+                .alias("conv_id_a"),
+                F.col("conv_id").alias("conv_id_b"),
+            )
+            .unionByName(
+                conv.filter(F.col("conv_id").endswith("_nd")).select(
+                    F.expr("substring(conv_id, 1, length(conv_id) - 3)")
+                    .alias("conv_id_a"),
+                    F.col("conv_id").alias("conv_id_b"),
+                )
+            )
+        )
+        return blocking_quality_frame(cand, truth)
+    q["blocking_eval"] = q_blocking_eval
 
     # -- q05: pairwise scoring (H13 blend, JVM components) ----------------
     def q_scores(spark, sf_dir):
@@ -1389,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the long-green round-1/2 set follows in its original order. Pure
     # reordering — every (name, callable) pair is unchanged.
     never_checked = [
+        "blocking_eval",
         "mm_image_features", "mm_audio_chunks",
         "link_matches", "link_fs_scores", "link_fs_matches",
         "emb_dup_pairs", "emb_dup_clusters", "emb_semantic_dedup",
@@ -1439,6 +1468,38 @@ GROUP BY 1 HAVING count(*) >= 2
     o["candidate_pairs"] = f"""
 WITH {_TRANSCRIPTS_SQL}, {_BLOCKED_SQL}
 SELECT conv_id_a, conv_id_b, block_key, salt FROM cand_pairs
+"""
+
+    o["blocking_eval"] = f"""
+WITH {_TRANSCRIPTS_SQL}, {_BLOCKED_SQL},
+cand AS (
+  SELECT DISTINCT least(conv_id_a, conv_id_b) AS lo,
+                  greatest(conv_id_a, conv_id_b) AS hi
+  FROM cand_pairs
+),
+truth AS (
+  SELECT DISTINCT least(substr(conv_id, 1, length(conv_id) - 4), conv_id) AS lo,
+                  greatest(substr(conv_id, 1, length(conv_id) - 4), conv_id) AS hi
+  FROM canonical WHERE ends_with(conv_id, '_dup')
+  UNION
+  SELECT DISTINCT least(substr(conv_id, 1, length(conv_id) - 3), conv_id),
+                  greatest(substr(conv_id, 1, length(conv_id) - 3), conv_id)
+  FROM canonical WHERE ends_with(conv_id, '_nd')
+),
+u AS (
+  SELECT c.lo IS NOT NULL AS in_c, t.lo IS NOT NULL AS in_t
+  FROM cand c FULL OUTER JOIN truth t ON c.lo = t.lo AND c.hi = t.hi
+)
+SELECT
+  CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+  CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+  CAST(sum(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_true_covered,
+  CAST(sum(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END) AS DOUBLE)
+    / sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS pairs_completeness,
+  CAST(sum(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END) AS DOUBLE)
+    / sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS pairs_quality
+FROM u
 """
 
     o["pair_scores"] = f"""
@@ -1761,8 +1822,8 @@ doc_blocked AS (
 ),
 doc_salted AS (
   SELECT *,
-         CAST((row_number() OVER (PARTITION BY block_key ORDER BY doc_id) - 1)
-              % CAST(ceil(count(*) OVER (PARTITION BY block_key) / 64.0) AS BIGINT) AS INT) AS salt
+         CAST(floor((row_number() OVER (PARTITION BY block_key ORDER BY doc_id)
+                     - 1) / 64) AS INT) AS salt
   FROM doc_blocked
 )
 SELECT * FROM (
@@ -1822,8 +1883,8 @@ doc_blocked AS (
 ),
 doc_salted AS (
   SELECT *,
-         CAST((row_number() OVER (PARTITION BY block_key ORDER BY doc_id) - 1)
-              % CAST(ceil(count(*) OVER (PARTITION BY block_key) / 64.0) AS BIGINT) AS INT) AS salt
+         CAST(floor((row_number() OVER (PARTITION BY block_key ORDER BY doc_id)
+                     - 1) / 64) AS INT) AS salt
   FROM doc_blocked
 ),
 near_edges AS (
@@ -2129,8 +2190,8 @@ blocked AS (
 ),
 salted AS (
   SELECT *,
-         CAST((row_number() OVER (PARTITION BY block_key ORDER BY doc_id) - 1)
-              % CAST(ceil(count(*) OVER (PARTITION BY block_key) / 64.0) AS BIGINT) AS INT) AS salt
+         CAST(floor((row_number() OVER (PARTITION BY block_key ORDER BY doc_id)
+                     - 1) / 64) AS INT) AS salt
   FROM blocked
 ),
 chars AS (

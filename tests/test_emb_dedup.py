@@ -139,3 +139,32 @@ def test_zero_vectors_exit_the_lsh_path(spark, corpus):
     }
     assert not any(a >= 30000 or b >= 30000 for a, b in got)
     assert len(got & planted) / len(planted) >= 0.9
+
+
+def test_first_collision_dedup_equals_distinct_candidates(spark, corpus):
+    """cosine_dup_pairs_lsh dedups multi-table collisions by keeping a pair
+    only at its FIRST colliding table (a filter on the carried bucket
+    arrays) instead of a distinct over the collision-sized pair stream.
+    The candidate ID set must equal the distinct formulation's exactly,
+    and the operator's output must be duplicate-free."""
+    from translink.ann import hyperplane_bucket_keys
+
+    df, _ = corpus
+    keys = hyperplane_bucket_keys(df, DIM, n_planes=4, n_tables=6)
+    a = keys.select(F.col("vec_id").alias("a"), "table_id", "bucket")
+    b = keys.select(F.col("vec_id").alias("b"), "table_id", "bucket")
+    via_distinct = {
+        (r["a"], r["b"])
+        for r in a.join(b, ["table_id", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct().collect()
+    }
+    # tau=-1: keep EVERY candidate so the comparison covers the whole set
+    got = [
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in cosine_dup_pairs_lsh(
+            df, tau=-1.0, dim=DIM, n_planes=4, n_tables=6
+        ).collect()
+    ]
+    assert len(got) == len(set(got))  # no multi-table duplicates survive
+    assert set(got) == via_distinct

@@ -186,6 +186,7 @@ def hyperplane_bucket_keys(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_array: bool = False,
 ) -> DataFrame:
     """Multi-table hyperplane LSH keys: one row per (vector, table) with that
     table's sign-pattern bucket. OR-amplification across tables: two vectors
@@ -194,10 +195,25 @@ def hyperplane_bucket_keys(
 
     ONE scan of the input: the Arrow bucket kernel emits every table's bucket
     as an array, ``posexplode`` turns it into (table_id, bucket) keys.
+
+    ``keep_array=True`` additionally retains the whole per-table bucket
+    array as ``_bks`` on every exploded row. Consumers use it for
+    first-colliding-table pair dedup (see ``cosine_dup_pairs_lsh``): it
+    costs ``n_tables * 8`` extra bytes per exploded row on the candidate
+    join's input exchange, and in return the OUTPUT-side dedup exchange
+    (sized by the collision-pair count, quadratic in bucket occupancy)
+    disappears entirely.
     """
     kern = _make_bucket_kernel(dim, n_planes, n_tables, seed)
+    cols = [F.col(id_col), F.col(vec_col)]
+    if keep_array:
+        cols.append(kern(F.col(vec_col)).alias("_bks"))
+        return embeddings.select(*cols).select(
+            id_col, vec_col, "_bks",
+            F.posexplode("_bks").alias("table_id", "bucket"),
+        )
     return embeddings.select(
-        F.col(id_col), F.col(vec_col),
+        *cols,
         F.posexplode(kern(F.col(vec_col))).alias("table_id", "bucket"),
     )
 
@@ -258,20 +274,29 @@ def cosine_topk_lsh(
     scale-up — tune n_planes (bucket size) and n_tables (recall) instead of
     paying the full cross product."""
     c = hyperplane_bucket_keys(
-        embeddings, dim, n_planes, n_tables, seed, id_col, vec_col
-    ).select(F.col(id_col).alias("neighbor_id"), "table_id", "bucket")
+        embeddings, dim, n_planes, n_tables, seed, id_col, vec_col,
+        keep_array=True,
+    ).select(F.col(id_col).alias("neighbor_id"),
+             F.col("_bks").alias("_bc"), "table_id", "bucket")
     q = hyperplane_bucket_keys(
-        queries, dim, n_planes, n_tables, seed, id_col, vec_col
-    ).select(F.col(id_col).alias("query_id"), "table_id", "bucket")
-    # a pair colliding in several tables scores once: dedup on the ID pair
-    # alone, then join vectors from the ORIGINAL (unexploded) frames —
-    # running distinct over rows carrying both embeddings would hash and
-    # shuffle every float n_tables times
+        queries, dim, n_planes, n_tables, seed, id_col, vec_col,
+        keep_array=True,
+    ).select(F.col(id_col).alias("query_id"),
+             F.col("_bks").alias("_bq"), "table_id", "bucket")
+    # a pair colliding in several tables scores once: keep it only at its
+    # FIRST colliding table (both sides carry their bucket arrays; a codegen
+    # filter checks no earlier table agreed) — this replaces a distinct
+    # whose exchange is sized by the raw collision count, and vectors still
+    # join from the ORIGINAL (unexploded) frames so embeddings never ride
+    # the multi-table exchange
     cand_ids = (
         q.join(c, on=["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.expr(
+            "array_position(zip_with(_bq, _bc, (x, y) -> x = y), true) "
+            "= table_id + 1"
+        ))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     cand = (
         cand_ids
@@ -519,15 +544,30 @@ def cosine_dup_pairs_lsh(
     tests/test_ann.py.
     """
     keys = hyperplane_bucket_keys(
-        embeddings, dim, n_planes, n_tables, seed, id_col, vec_col
+        embeddings, dim, n_planes, n_tables, seed, id_col, vec_col,
+        keep_array=True,
     )
-    a = keys.select(F.col(id_col).alias("vec_id_a"), "table_id", "bucket")
-    b = keys.select(F.col(id_col).alias("vec_id_b"), "table_id", "bucket")
+    a = keys.select(F.col(id_col).alias("vec_id_a"),
+                    F.col("_bks").alias("_ba"), "table_id", "bucket")
+    b = keys.select(F.col(id_col).alias("vec_id_b"),
+                    F.col("_bks").alias("_bb"), "table_id", "bucket")
+    # A pair colliding in several tables must score once. Instead of a
+    # distinct over the joined pair ids — an exchange sized by the raw
+    # COLLISION count (quadratic in bucket occupancy; at wide-bucket
+    # parameters it dwarfs the corpus) — keep a pair only at its FIRST
+    # colliding table: both sides carry their full bucket array
+    # (n_tables longs), and a codegen filter checks no earlier table
+    # agreed. Each surviving pair appears exactly once, no dedup exchange.
+    # Null buckets (zero-norm vectors) never equal anything in zip_with's
+    # x = y, so they cannot register as an earlier collision.
     cand_ids = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .filter(F.expr(
+            "array_position(zip_with(_ba, _bb, (x, y) -> x = y), true) "
+            "= table_id + 1"
+        ))
         .select("vec_id_a", "vec_id_b")
-        .distinct()
     )
     cand = (
         cand_ids

@@ -13,11 +13,19 @@ That is textbook entity-resolution *blocking*. We emit two families of keys:
 
 Skew (P8): one hot key (e.g. thousands of empty conversations) makes the
 downstream self-join quadratic. We bound every block to ``max_block_size``
-candidates by appending a salt: ``xxhash64(conv_id) % n_salt`` where
-``n_salt = ceil(block_size / max_block_size)``. Pairs across salt sub-blocks
-of an oversized block are sacrificed — a deliberate guardrail, the analog of
-the reference's bounded sampling (P5) and bounded channels (T4) — and the
-overflow is observable in metrics (blocks_oversized).
+candidates by appending a salt. Pairs across salt sub-blocks of an
+oversized block are sacrificed — a deliberate guardrail, the analog of the
+reference's bounded sampling (P5) and bounded channels (T4) — and the
+overflow is observable in metrics (blocks_oversized). WHICH pairs are
+sacrificed is the recall lever: the default ``rank`` mode sorts each block
+by a caller-supplied similarity-correlated key (record length, then id)
+and cuts it into contiguous ``max_block_size`` chunks — the sorted-
+neighborhood principle (Hernandez & Stolfo 1995): records likely to match
+sort adjacently, so the sacrificed cross-chunk pairs are preferentially
+the UNLIKELY ones. A modulo or hash assignment has the same size bound but
+scatters sorted neighbors across sub-blocks, losing true pairs at
+(1 - 1/n_salt) — measured as pairs-completeness 0.245 vs 0.98+ for
+chunking on the planted-twin corpus (translink.evaluate.blocking_quality).
 """
 
 from __future__ import annotations
@@ -50,15 +58,26 @@ def with_salt(
     key_cols: list[str],
     cfg: LinkConfig | None = None,
     id_col: str = "conv_id",
+    order_cols: list | None = None,
 ) -> DataFrame:
     """Append ``salt: int`` bounding each ``key_cols`` block to
     ``cfg.max_block_size`` members, plus ``block_size`` for metrics.
 
     Two deterministic modes (cfg.salt_mode):
-      - ``hash``: salt = pmod(xxhash64(id), n_salt). Stateless per row once
-        block_size is known; stable under input reordering.
-      - ``rank``: salt = (row_number over block ordered by id) % n_salt.
-        Exactly reproducible in ANSI SQL engines — used by the DuckDB oracle.
+      - ``rank`` (sorted-neighborhood chunking): rows of a block are sorted
+        by ``order_cols`` (default ``[id_col]``; callers pass a
+        similarity-correlated prefix like record length) and assigned
+        ``salt = (rank - 1) // max_block_size`` — contiguous chunks, so
+        sorted neighbors stay in the same sub-block and the sacrificed
+        cross-chunk pairs are the sort-distant (unlikely-match) ones.
+        Exactly reproducible in ANSI SQL engines — used by the DuckDB
+        oracle. ``order_cols`` together with ``id_col`` as the final
+        tiebreak must be a total order for determinism; ``id_col`` is
+        appended automatically when not already last.
+      - ``hash``: salt = pmod(xxhash64(id), n_salt),
+        ``n_salt = ceil(block_size / max_block_size)``. Stateless per row
+        once block_size is known; stable under input reordering, but
+        scatters neighbors — lower pair recall in oversized blocks.
 
     Both need one window over the block key (a single shuffle that the
     downstream self-join reuses, since the join key is a superset).
@@ -66,11 +85,14 @@ def with_salt(
     cfg = cfg or LinkConfig()
     w = Window.partitionBy(*key_cols)
     df = df.withColumn("block_size", F.count("*").over(w))
-    n_salt = F.ceil(F.col("block_size") / cfg.max_block_size).cast("int")
     if cfg.salt_mode == "rank":
-        rn = F.row_number().over(w.orderBy(id_col))
-        salt = ((rn - F.lit(1)) % n_salt).cast("int")
+        order = list(order_cols or [])
+        if not order or (isinstance(order[-1], str) and order[-1] != id_col):
+            order.append(id_col)
+        rn = F.row_number().over(w.orderBy(*order))
+        salt = F.floor((rn - F.lit(1)) / cfg.max_block_size).cast("int")
     else:
+        n_salt = F.ceil(F.col("block_size") / cfg.max_block_size).cast("int")
         salt = F.pmod(F.xxhash64(F.col(id_col)), n_salt).cast("int")
     return df.withColumn("salt", salt)
 

@@ -50,3 +50,76 @@ def pairwise_prf(labeled_pairs: DataFrame, clusters: DataFrame) -> dict:
         "tp": tp, "fp": fp, "fn": fn, "tn": tn,
         "precision": precision, "recall": recall, "f1": f1,
     }
+
+
+def blocking_quality_frame(
+    candidates: DataFrame,
+    true_pairs: DataFrame,
+    a_col: str = "conv_id_a",
+    b_col: str = "conv_id_b",
+) -> DataFrame:
+    """One-row blocking-quality metrics — the standard evaluation of a
+    blocking scheme from the record-linkage literature (Christen 2012,
+    "Data Matching", ch. 7): **pairs completeness** (share of true matched
+    pairs the blocking retains — blocking recall; every pair lost here is
+    unrecoverable by any downstream scorer) and **pairs quality** (share of
+    candidate pairs that are true matches — how much comparison work the
+    blocking wastes).
+
+    Distributed shape: both inputs reduce to normalized (lo, hi) id pairs,
+    ONE full-outer sort-merge join on the pair key, one global aggregate.
+    No cross join, no driver collect — candidate volume never rides more
+    than its own one exchange, so the evaluation costs no more than a
+    count over the candidate set at any corpus size.
+    """
+    c = (
+        candidates.select(
+            F.least(a_col, b_col).alias("lo"),
+            F.greatest(a_col, b_col).alias("hi"),
+        )
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    t = (
+        true_pairs.select(
+            F.least(a_col, b_col).alias("lo"),
+            F.greatest(a_col, b_col).alias("hi"),
+        )
+        .distinct()
+        .withColumn("_t", F.lit(1))
+    )
+    u = c.join(t, ["lo", "hi"], "full_outer")
+    agg = u.agg(
+        F.sum("_c").cast("bigint").alias("n_candidates"),
+        F.sum("_t").cast("bigint").alias("n_true"),
+        F.sum(
+            F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_true_covered"),
+    )
+    return agg.select(
+        "n_candidates", "n_true", "n_true_covered",
+        (F.col("n_true_covered") / F.col("n_true"))
+        .cast("double").alias("pairs_completeness"),
+        (F.col("n_true_covered") / F.col("n_candidates"))
+        .cast("double").alias("pairs_quality"),
+    )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    true_pairs: DataFrame,
+    n_records: int | None = None,
+    a_col: str = "conv_id_a",
+    b_col: str = "conv_id_b",
+) -> dict:
+    """Dict form of :func:`blocking_quality_frame`, optionally adding the
+    **reduction ratio** ``1 - n_candidates / (n_records choose 2)`` — the
+    share of the all-pairs comparison space the blocking eliminated —
+    when the caller supplies the record count."""
+    row = blocking_quality_frame(candidates, true_pairs, a_col, b_col).first()
+    out = row.asDict()
+    if n_records is not None and n_records >= 2:
+        total = n_records * (n_records - 1) / 2.0
+        out["reduction_ratio"] = 1.0 - (out["n_candidates"] or 0) / total
+    return out

@@ -53,8 +53,8 @@ def link_candidate_pairs(
     Inputs carry ``id_col``, ``block_key`` and the payload columns (i.e.
     the output of ``with_block_key`` over each side — NOT yet salted: the
     salt must be computed over the union, see module docstring). Ids may
-    collide across corpora — the salt's deterministic ordering key is
-    ``side#id``, total even when the same id appears on both sides.
+    collide across corpora — the salt's deterministic ordering key ends
+    with ``(id, side)``, total even when the same id appears on both sides.
 
     Output: one row per (A-record, B-record) sharing ``(block_key,
     salt)``: ``{id}_a, {id}_b, block_key, salt`` plus ``{col}_a/{col}_b``
@@ -70,7 +70,22 @@ def link_candidate_pairs(
         .unionByName(b.select(*keep).withColumn("_side", F.lit("b")))
         .withColumn("_sid", F.concat_ws("#", "_side", id_col))
     )
-    salted = with_salt(tagged, ["block_key"], cfg, id_col="_sid").repartition(
+    # one content key only: canon_text when carried, else the length proxy
+    # (NOT both — a capped/cleaned canon_text can tie where total_chars
+    # differs, and a second order key would fork the chunk assignment from
+    # the ANSI-SQL twin, which tiebreaks straight to the id)
+    order = ["canon_text"] if "canon_text" in tagged.columns else (
+        ["total_chars"] if "total_chars" in tagged.columns else []
+    )
+    salted = with_salt(
+        tagged, ["block_key"], cfg, id_col="_sid",
+        # sorted-neighborhood chunk order: text first (cross-corpus matches
+        # share a long byte-identical prefix), then id, side last — ordering
+        # by side first (the old ``_sid`` key) would segregate the corpora
+        # into different chunks and sacrifice exactly the A-x-B pairs the
+        # linkage exists to find
+        order_cols=[*order, id_col, "_side"],
+    ).repartition(
         # fan-out-aware partition pinning — see candidates.candidate_pairs
         cfg.shuffle_partitions, "block_key", "salt"
     )

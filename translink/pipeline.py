@@ -115,7 +115,14 @@ def _run_stages(transcripts, cfg, _stage, timings, cat) -> dict:
         attr_side = signed
         if cfg.attr_max_chars is not None:
             attr_side = attr_side.filter(F.col("total_chars") <= cfg.attr_max_chars)
-        blocked = with_salt(with_block_key(attr_side, cfg), ["block_key"], cfg)
+        blocked = with_salt(
+            with_block_key(attr_side, cfg), ["block_key"], cfg,
+            # sorted-neighborhood order: near-dups share a long text prefix
+            # (one edit leaves the rest byte-identical), so text-sorted
+            # chunks keep them together when a block overflows; comparisons
+            # short-circuit at the first differing byte
+            order_cols=["canon_text"],
+        )
         attr_pairs = candidate_pairs(blocked, cfg, payload_cols=["digest"])
         # LSH band blocking (A4 analog).
         bands = lsh_band_keys(signed, cfg)
