@@ -189,8 +189,30 @@ def main() -> None:
                          "tmpfs side of the shuffle A/B)")
     ap.add_argument("--json-out", default=None,
                     help="also dump the report JSON to this path")
+    ap.add_argument("--min-membw", type=float, default=0.0, metavar="GBPS",
+                    help="interleave mode: weather gate — before each leg, "
+                         "re-probe until the 8-worker bandwidth stamp reaches "
+                         "this many GB/s (healthy stamp on this box: ~2.6), "
+                         "sleeping between probes; after --max-wait-s the leg "
+                         "runs anyway and its bracketing stamp records the "
+                         "degraded weather. Keeps multi-hour sweeps from "
+                         "burning their legs in known-bad windows.")
+    ap.add_argument("--max-wait-s", type=int, default=1800,
+                    help="max seconds to wait per leg for --min-membw")
     ap.add_argument("--no-md", action="store_true",
                     help="don't overwrite BENCH/BASELINE.md (A/B probes)")
+    ap.add_argument("--interleave", type=int, default=0, metavar="ROUNDS",
+                    help="run ROUNDS rounds of (all levels) instead of all "
+                         "repeats of one level consecutively, taking the "
+                         "per-level MIN wall across rounds. On a host whose "
+                         "DRAM bandwidth oscillates on ~10-minute timescales "
+                         "(observed 10x swings between back-to-back probes, "
+                         "2026-08-19), consecutive levels sample DIFFERENT "
+                         "weather and their walls are not comparable; "
+                         "interleaving gives every level a shot at each "
+                         "weather window, and min-wall converges to the "
+                         "weather-free wall. Each leg is bracketed by a "
+                         "quick bandwidth stamp recorded in the artifact.")
     args = ap.parse_args()
 
     levels = sorted({int(x) for x in args.levels.split(",")})
@@ -219,12 +241,63 @@ def main() -> None:
             input_path, args.variants,
             f"/dev/shm/translink-input-x{args.variants}-{src_tag}",
         )
-    results = {
-        c: run_level(c, input_path, args.repeat, pin=not args.no_pin,
-                     shuffle_dir=args.shuffle_dir)
-        for c in levels
-    }
+    legs: list[dict] = []
+    if args.interleave > 0:
+        # Round-robin the levels so each one samples several weather
+        # windows; keep the best (min-wall) leg per level. A level's best
+        # leg is its least weather-impacted run — comparable across levels
+        # as long as each level lands at least one decent window.
+        best: dict[int, dict] = {}
+        for rnd in range(args.interleave):
+            for c in levels:
+                import time as _time
+
+                stamp = _membw_stamp()
+                waited = 0.0
+                while (args.min_membw > 0
+                       and stamp.get("8", 0.0) < args.min_membw
+                       and waited < args.max_wait_s):
+                    print(f"[round {rnd + 1}] membw {stamp} below gate "
+                          f"{args.min_membw} GB/s — waiting "
+                          f"({waited:.0f}/{args.max_wait_s}s)", flush=True)
+                    _time.sleep(60)
+                    waited += 60
+                    stamp = _membw_stamp()
+                print(f"[round {rnd + 1}/{args.interleave}] membw before "
+                      f"{c}c leg: {stamp}", flush=True)
+                leg = run_level(c, input_path, 1, pin=not args.no_pin,
+                                shuffle_dir=args.shuffle_dir)
+                legs.append({
+                    "round": rnd + 1, "cores": c,
+                    "wall_s": leg["wall_s"],
+                    "rows_per_s": leg["rows_per_s"],
+                    "checksum": leg["checksum"],
+                    "membw_before_leg": stamp,
+                    "gate_waited_s": round(waited, 0),
+                })
+                if c not in best or leg["wall_s"] < best[c]["wall_s"]:
+                    best[c] = leg
+                if args.json_out:
+                    # a multi-hour sweep must not lose its completed legs
+                    # to a mid-run crash
+                    with open(args.json_out + ".partial", "w") as fh:
+                        json.dump({"legs": legs}, fh, indent=2)
+        results = best
+    else:
+        results = {
+            c: run_level(c, input_path, args.repeat, pin=not args.no_pin,
+                         shuffle_dir=args.shuffle_dir)
+            for c in levels
+        }
     small, large = results[levels[0]], results[levels[-1]]
+    for leg in legs:
+        # every leg, not just the kept best one, must agree
+        if leg["checksum"] != small["checksum"]:
+            raise RuntimeError(
+                f"parallelism changed the answer! round {leg['round']} "
+                f"local[{leg['cores']}] checksum {leg['checksum']} != "
+                f"{small['checksum']}"
+            )
     for c, r in results.items():
         # explicit raise, not assert: this is the harness's same-answer-at-
         # every-parallelism gate and must survive python -O
@@ -272,6 +345,8 @@ def main() -> None:
         "shuffle_dir": args.shuffle_dir or os.environ.get(
             "TRANSLINK_LOCAL_DIR", DEFAULT_SHUFFLE_DIR),
     }
+    if legs:
+        report["interleave"] = {"rounds": args.interleave, "legs": legs}
     print(json.dumps(report, indent=2))
     if args.json_out:
         with open(args.json_out, "w") as fh:
