@@ -650,6 +650,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_eval"] = q_dedup_eval
 
+    # -- B-cubed cluster-level evaluation (Bagga & Baldwin 1998) ----------
+    def q_dedup_eval_bcubed(spark, sf_dir):
+        """Exact integer sufficient statistics of B³ precision/recall of
+        the exact clustering against the planted-truth clustering (base
+        conv_id with the _dup/_nd suffix stripped): one row per distinct
+        (cluster_size, truth_size, cell_size) triple with its cell count.
+        The float averages live in translink.evaluate.bcubed_prf (pinned
+        by pytest) — cross-engine float SUM accumulation order is not
+        hash-comparable; the integer histogram is, and B³ P/R derive from
+        it exactly (P = Σ n·s²/cs / N, R = Σ n·s²/ts / N)."""
+        from translink.evaluate import bcubed_cells_frame
+
+        c = _spark_canonical(spark, sf_dir)
+        pred = c.select(
+            "conv_id",
+            F.min("conv_id").over(Window.partitionBy(F.md5("canon_text")))
+            .alias("cluster_id"),
+        )
+        truth = c.select(
+            "conv_id",
+            F.when(
+                F.col("conv_id").endswith("_dup"),
+                F.expr("substring(conv_id, 1, length(conv_id) - 4)"),
+            ).when(
+                F.col("conv_id").endswith("_nd"),
+                F.expr("substring(conv_id, 1, length(conv_id) - 3)"),
+            ).otherwise(F.col("conv_id")).alias("true_id"),
+        )
+        return bcubed_cells_frame(pred, truth)
+    q["dedup_eval_bcubed"] = q_dedup_eval_bcubed
+
     # ===== documents-table training-data ops (SURVEY §2.3 kernels) =======
 
     def _docs(spark, sf_dir):
@@ -1378,6 +1409,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["link_fs_matches"] = q_link_fs_matches
 
+    # -- Fellegi–Sunter three-region decision rule (the 1969 theorem:
+    #    link / possible-link (clerical review) / non-link regions chosen
+    #    to minimize the review region under tolerable error rates μ, λ;
+    #    thresholds are driver arithmetic over ≤36 model-probability
+    #    patterns, embedded as shared literals in both engines) ----------
+    def q_link_fs_decisions(spark, sf_dir):
+        from translink.fellegi_sunter import (
+            comparison_vectors, fs_decide, fs_thresholds_from_error_rates,
+            fs_weight_expr,
+        )
+
+        g = comparison_vectors(_link_scored_with_payload(spark, sf_dir), CFG)
+        upper, lower = fs_thresholds_from_error_rates(mu=0.001, lam_err=0.02)
+        w = g.withColumn("match_weight", fs_weight_expr())
+        return fs_decide(w, upper, lower).select(
+            "conv_id_a", "conv_id_b", "match_weight", "decision"
+        )
+    q["link_fs_decisions"] = q_link_fs_decisions
+
     def q_mm_image_features(spark, sf_dir):
         """Multimodal image lane end-to-end on REAL containers: documents
         derive a deterministic PNG asset table map-side
@@ -1417,7 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the long-green round-1/2 set follows in its original order. Pure
     # reordering — every (name, callable) pair is unchanged.
     never_checked = [
-        "blocking_eval",
+        "blocking_eval", "link_fs_decisions", "dedup_eval_bcubed",
         "mm_image_features", "mm_audio_chunks",
         "link_matches", "link_fs_scores", "link_fs_matches",
         "emb_dup_pairs", "emb_dup_clusters", "emb_semantic_dedup",
@@ -1696,6 +1746,44 @@ SELECT tp, fp, fn, tn,
        tp / greatest(tp + fn, 1) AS recall,
        2 * tp / greatest(2 * tp + fp + fn, 1) AS f1
 FROM agg
+"""
+
+    o["dedup_eval_bcubed"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+pred AS (
+  SELECT conv_id,
+         min(conv_id) OVER (PARTITION BY canon_text) AS cluster_id
+  FROM canonical
+),
+truth AS (
+  SELECT conv_id,
+         CASE WHEN conv_id LIKE '%\\_dup' ESCAPE '\\'
+                THEN substr(conv_id, 1, length(conv_id) - 4)
+              WHEN conv_id LIKE '%\\_nd' ESCAPE '\\'
+                THEN substr(conv_id, 1, length(conv_id) - 3)
+              ELSE conv_id END AS true_id
+  FROM canonical
+),
+assigned AS (
+  SELECT p.conv_id, p.cluster_id, t.true_id
+  FROM pred p JOIN truth t ON p.conv_id = t.conv_id
+),
+cells AS (
+  SELECT cluster_id, true_id, CAST(count(*) AS BIGINT) AS cell_size
+  FROM assigned GROUP BY 1, 2
+),
+cs AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM assigned GROUP BY 1
+),
+ts AS (
+  SELECT true_id, CAST(count(*) AS BIGINT) AS truth_size
+  FROM assigned GROUP BY 1
+)
+SELECT cluster_size, truth_size, cell_size,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM cells JOIN cs USING (cluster_id) JOIN ts USING (true_id)
+GROUP BY 1, 2, 3
 """
 
     docs_cte = """
@@ -2684,6 +2772,29 @@ WITH {_TRANSCRIPTS_SQL},
 SELECT conv_id_a, conv_id_b, g_jac, g_lev, g_prefix, g_len,
        {_fs_weight_sql(FSParams())} AS match_weight
 FROM gammas
+"""
+
+    # Three-region decision twin: the (upper, lower) weight thresholds are
+    # pure-Python theorem arithmetic over the default params — identical
+    # literals in both engines; boundary semantics are >= upper / <= lower
+    # exactly as translink.fellegi_sunter.fs_decide.
+    from translink.fellegi_sunter import fs_thresholds_from_error_rates
+    _fs_up, _fs_lo = fs_thresholds_from_error_rates(mu=0.001, lam_err=0.02)
+    o["link_fs_decisions"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+{_LINK_SQL},
+{_SCORE_SQL},
+{_fs_gammas_sql},
+weighted AS (
+  SELECT conv_id_a, conv_id_b,
+         {_fs_weight_sql(FSParams())} AS match_weight
+  FROM gammas
+)
+SELECT conv_id_a, conv_id_b, match_weight,
+       CASE WHEN match_weight >= CAST('{_fs_up!r}' AS DOUBLE) THEN 'link'
+            WHEN match_weight <= CAST('{_fs_lo!r}' AS DOUBLE) THEN 'nonlink'
+            ELSE 'possible' END AS decision
+FROM weighted
 """
 
     # Fellegi–Sunter EM twin: the EM loop is deterministic driver

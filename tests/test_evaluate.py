@@ -63,3 +63,71 @@ def test_blocking_eval_query_on_derived_corpus(spark):
     assert row["n_candidates"] > 0
     assert row["pairs_completeness"] >= 0.85
     assert 0.0 < row["pairs_quality"] <= 1.0
+
+
+def test_bcubed_known_example(spark):
+    """Hand-computed B-cubed: pred {1,2,3},{4,5} vs truth {1,2},{3,4,5}.
+    P = R = 11/15 (cells (2/3,2/3,2), (1/3,1/3,1), (2/2,2/3,2))."""
+    from translink.evaluate import bcubed_prf
+
+    pred = spark.createDataFrame(
+        [("r1", "A"), ("r2", "A"), ("r3", "A"), ("r4", "B"), ("r5", "B")],
+        "conv_id string, cluster_id string",
+    )
+    truth = spark.createDataFrame(
+        [("r1", "T1"), ("r2", "T1"), ("r3", "T2"), ("r4", "T2"), ("r5", "T2")],
+        "conv_id string, true_id string",
+    )
+    out = bcubed_prf(pred, truth)
+    assert out["n_records"] == 5
+    assert abs(out["precision"] - 11 / 15) < 1e-12
+    assert abs(out["recall"] - 11 / 15) < 1e-12
+    assert abs(out["f1"] - 11 / 15) < 1e-12
+
+
+def test_bcubed_perfect_clustering_is_one(spark):
+    from translink.evaluate import bcubed_prf
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2)], "conv_id string, cluster_id int"
+    )
+    truth = pred.selectExpr("conv_id", "cluster_id AS true_id")
+    out = bcubed_prf(pred, truth)
+    assert out["precision"] == out["recall"] == out["f1"] == 1.0
+
+
+def test_bcubed_inner_join_drops_unlabeled(spark):
+    """Records present on only one side are outside the evaluated
+    population (B³ is defined over commonly-labeled records)."""
+    from translink.evaluate import bcubed_prf
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("zz", 9)], "conv_id string, cluster_id int"
+    )
+    truth = spark.createDataFrame(
+        [("a", "t"), ("b", "t")], "conv_id string, true_id string"
+    )
+    out = bcubed_prf(pred, truth)
+    assert out["n_records"] == 2
+    assert out["f1"] == 1.0
+
+
+def test_bcubed_query_matches_helper_on_derived_corpus(spark):
+    """The driver query's integer histogram reproduces the helper's
+    scalars, and the exact clustering scores high-but-imperfect B³ on the
+    planted corpus (near-dups split from their base: recall < 1)."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["dedup_eval_bcubed"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    hist = sorted(
+        (r["cluster_size"], r["truth_size"], r["cell_size"], r["n_cells"])
+        for r in rows
+    )
+    n = sum(s * k for _, _, s, k in hist)
+    p = sum(k * s * s / cs for cs, _, s, k in hist) / n
+    r = sum(k * s * s / ts for _, ts, s, k in hist) / n
+    assert n > 0
+    assert p == 1.0   # exact clustering never merges distinct texts
+    assert 0.5 < r < 1.0  # _nd twins stay split -> recall below 1

@@ -240,3 +240,61 @@ def test_u_from_random_pairs_corpus_calibrated(spark, planted):
     fit = fs_em_fit(gammas, fixed_u=u1)
     assert fit.u == u1
     assert fit.m["g_jac"][2] > 0.5  # matches agree at the top band
+
+
+def test_fs_threshold_regions_respect_error_budgets():
+    """The 1969 theorem's construction: accumulated non-match mass in the
+    LINK region stays <= mu, accumulated match mass in the NON-LINK
+    region stays <= lambda, and tightening a budget never widens its
+    region."""
+    from translink.fellegi_sunter import (
+        fs_pattern_probs, fs_thresholds_from_error_rates,
+    )
+
+    mu, lam_err = 0.001, 0.02
+    upper, lower = fs_thresholds_from_error_rates(mu, lam_err)
+    assert lower < upper  # non-degenerate review band at these budgets
+    link_u = sum(pu for _, _, pu, w in fs_pattern_probs() if w >= upper)
+    nonlink_m = sum(pm for _, pm, _, w in fs_pattern_probs() if w <= lower)
+    assert link_u <= mu + 1e-12
+    assert nonlink_m <= lam_err + 1e-12
+    # tightening mu can only RAISE the upper threshold (smaller region)
+    up2, _ = fs_thresholds_from_error_rates(mu / 10, lam_err)
+    assert up2 >= upper
+    # loosening lambda can only RAISE the lower threshold
+    _, lo2 = fs_thresholds_from_error_rates(mu, lam_err * 2)
+    assert lo2 >= lower
+
+
+def test_fs_thresholds_degenerate_budgets_collapse_review_band():
+    """Budgets loose enough that the regions would overlap produce a
+    single cut (upper == lower), never contradictory decisions."""
+    from translink.fellegi_sunter import fs_thresholds_from_error_rates
+
+    upper, lower = fs_thresholds_from_error_rates(0.01, 0.05)
+    assert upper == lower
+
+
+def test_fs_decide_three_regions(spark):
+    """Boundary semantics: >= upper is link, <= lower is nonlink,
+    strictly between is possible."""
+    from translink.fellegi_sunter import fs_decide
+
+    df = spark.createDataFrame(
+        [(1, 6.0), (2, 5.0), (3, 2.0), (4, 0.5), (5, -3.0)],
+        "pair_id int, match_weight double",
+    )
+    got = {
+        r["pair_id"]: r["decision"]
+        for r in fs_decide(df, upper_weight=5.0, lower_weight=0.5).collect()
+    }
+    assert got == {1: "link", 2: "link", 3: "possible",
+                   4: "nonlink", 5: "nonlink"}
+
+
+def test_fs_decide_rejects_crossed_thresholds(spark):
+    from translink.fellegi_sunter import fs_decide
+
+    df = spark.createDataFrame([(1, 0.0)], "pair_id int, match_weight double")
+    with pytest.raises(ValueError):
+        fs_decide(df, upper_weight=1.0, lower_weight=2.0)

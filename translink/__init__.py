@@ -26,7 +26,7 @@ from translink.blocking import with_block_key, with_salt, lsh_band_keys
 from translink.candidates import candidate_pairs, lsh_candidate_pairs
 from translink.scoring import score_pairs
 from translink.clustering import connected_components, exact_clusters
-from translink.evaluate import blocking_quality, pairwise_prf
+from translink.evaluate import bcubed_prf, blocking_quality, pairwise_prf
 from translink.pipeline import run_pipeline
 from translink.report import cluster_report, deduplicate, elect_primary
 
@@ -37,6 +37,6 @@ __all__ = [
     "with_exact_digest", "with_minhash", "with_block_key", "with_salt",
     "lsh_band_keys", "candidate_pairs", "lsh_candidate_pairs", "score_pairs",
     "connected_components", "exact_clusters", "pairwise_prf",
-    "blocking_quality", "run_pipeline",
+    "blocking_quality", "bcubed_prf", "run_pipeline",
     "cluster_report", "deduplicate", "elect_primary",
 ]

@@ -123,3 +123,85 @@ def blocking_quality(
         total = n_records * (n_records - 1) / 2.0
         out["reduction_ratio"] = 1.0 - (out["n_candidates"] or 0) / total
     return out
+
+
+def bcubed_cells_frame(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "conv_id",
+    pred_col: str = "cluster_id",
+    truth_col: str = "true_id",
+) -> DataFrame:
+    """The exact integer sufficient statistics of B-cubed evaluation
+    (Bagga & Baldwin 1998; the standard cluster-level ER metric
+    complementing pairwise F1): one row per distinct
+    ``(cluster_size, truth_size, cell_size)`` triple with its cell count,
+    where a *cell* is a (predicted cluster, true cluster) intersection.
+
+    B³ precision is the per-record average of ``|C(e) ∩ T(e)| / |C(e)|``
+    and recall the same over ``|T(e)|`` — grouping records by their cell
+    turns both into sums over cells:
+    ``P = Σ s²/cs / N``, ``R = Σ s²/ts / N`` with ``s`` the cell size,
+    ``cs``/``ts`` the containing cluster/truth sizes, ``N = Σ s``.
+
+    Distributed shape: one inner join on the id, three groupBy aggregates
+    (cells, cluster sizes, truth sizes), two foreign-key joins of cells to
+    sizes, one final histogram aggregate — no window over the corpus, no
+    pair materialization, nothing driver-side. Every output column is an
+    exact integer: the float arithmetic (whose accumulation order differs
+    across engines/partitionings) is deliberately left to
+    :func:`bcubed_prf`, so this frame is engine-comparable bit-for-bit.
+
+    Records missing from either side are excluded by the inner join —
+    B³ is defined over the commonly-labeled population.
+    """
+    assigned = (
+        pred.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_c"))
+        .join(
+            truth.select(
+                F.col(id_col).alias("_id"), F.col(truth_col).alias("_t")
+            ),
+            "_id",
+        )
+    )
+    cells = assigned.groupBy("_c", "_t").agg(F.count("*").alias("cell_size"))
+    csize = assigned.groupBy("_c").agg(F.count("*").alias("cluster_size"))
+    tsize = assigned.groupBy("_t").agg(F.count("*").alias("truth_size"))
+    return (
+        cells.join(csize, "_c").join(tsize, "_t")
+        .groupBy("cluster_size", "truth_size", "cell_size")
+        .agg(F.count("*").alias("n_cells"))
+    )
+
+
+def bcubed_prf(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "conv_id",
+    pred_col: str = "cluster_id",
+    truth_col: str = "true_id",
+) -> dict:
+    """B-cubed precision / recall / F1 from the exact cell histogram.
+
+    The histogram is bounded by the distinct (cluster_size, truth_size,
+    cell_size) triples — collecting it is the same bounded-driver-side
+    discipline as ``fs_pattern_counts`` (sizes repeat massively in real
+    corpora; the triple space does not grow with corpus size the way rows
+    do). Accumulation runs in sorted order so the floats are
+    reproducible across partitionings.
+    """
+    rows = bcubed_cells_frame(
+        pred, truth, id_col, pred_col, truth_col
+    ).collect()
+    hist = sorted(
+        (int(r["cluster_size"]), int(r["truth_size"]), int(r["cell_size"]),
+         int(r["n_cells"]))
+        for r in rows
+    )
+    n = sum(s * k for _, _, s, k in hist)
+    if n == 0:
+        return {"n_records": 0, "precision": 1.0, "recall": 1.0, "f1": 1.0}
+    p = sum(k * s * s / cs for cs, _, s, k in hist) / n
+    r = sum(k * s * s / ts for _, ts, s, k in hist) / n
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"n_records": n, "precision": p, "recall": r, "f1": f1}

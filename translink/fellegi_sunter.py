@@ -242,6 +242,124 @@ def fs_weight_threshold(
     return math.log2((p / (1.0 - p)) / max(prior_odds, _EPS))
 
 
+def fs_pattern_probs(
+    params: FSParams | None = None,
+) -> list[tuple[tuple[int, ...], float, float, float]]:
+    """Every γ pattern with its model probabilities under match and
+    non-match and its weight: ``(pattern, P_m, P_u, weight)``.
+
+    ``P_m = Π m_field[level]`` and ``P_u = Π u_field[level]`` under the
+    model's conditional-independence assumption — the quantities the
+    Fellegi–Sunter 1969 optimality theorem sorts and accumulates. Pure
+    Python over ≤ 36 patterns.
+    """
+    params = params or FSParams()
+    w = params.weights()
+    out = []
+    for pat in itertools.product(*(range(n) for n in FIELDS.values())):
+        pm = pu = 1.0
+        weight = 0.0
+        for k, lvl in zip(FIELDS, pat):
+            pm *= params.m[k][lvl]
+            pu *= params.u[k][lvl]
+            weight = weight + w[k][lvl]
+        out.append((pat, pm, pu, weight))
+    return out
+
+
+def fs_thresholds_from_error_rates(
+    mu: float,
+    lam_err: float,
+    params: FSParams | None = None,
+) -> tuple[float, float]:
+    """The optimal (upper, lower) ``match_weight`` thresholds of the
+    Fellegi–Sunter 1969 theorem (Theorem 1, "A Theory for Record
+    Linkage", JASA 64) for tolerable error rates ``mu`` (false-link
+    probability: non-match decided LINK) and ``lam_err`` (false-non-link
+    probability: match decided NON-LINK).
+
+    The theorem: order the γ patterns by descending m/u likelihood ratio
+    (equivalently by descending weight). The LINK region is the largest
+    weight-prefix whose accumulated non-match mass ``Σ P_u`` stays
+    ≤ ``mu``; the NON-LINK region is the largest weight-suffix whose
+    accumulated match mass ``Σ P_m`` stays ≤ ``lam_err``; everything
+    between is the POSSIBLE (clerical-review) region, and this rule
+    provably minimizes that region among all rules with the given error
+    bounds. Driver arithmetic over ≤ 36 patterns, accumulated in sorted
+    order (bit-reproducible), no data touched.
+
+    Returns ``(upper_weight, lower_weight)``: decide LINK at
+    ``weight >= upper``, NON-LINK at ``weight <= lower``. When the two
+    regions would overlap (generous error budgets), the review region is
+    empty and both thresholds return the same boundary weight — the rule
+    degenerates to a single cut, never to contradictory decisions.
+    """
+    pats = sorted(fs_pattern_probs(params), key=lambda t: (-t[3], t[0]))
+    # LINK: largest prefix with cumulative P_u <= mu. Ties in weight are
+    # grouped — a threshold cannot split equal-weight patterns.
+    cum_u = 0.0
+    upper = math.inf
+    i = 0
+    while i < len(pats):
+        j = i
+        block_u = 0.0
+        while j < len(pats) and pats[j][3] == pats[i][3]:
+            block_u += pats[j][2]
+            j += 1
+        if cum_u + block_u > mu:
+            break
+        cum_u += block_u
+        upper = pats[i][3]
+        i = j
+    # NON-LINK: largest suffix with cumulative P_m <= lam_err.
+    cum_m = 0.0
+    lower = -math.inf
+    i = len(pats) - 1
+    while i >= 0:
+        j = i
+        block_m = 0.0
+        while j >= 0 and pats[j][3] == pats[i][3]:
+            block_m += pats[j][1]
+            j -= 1
+        if cum_m + block_m > lam_err:
+            break
+        cum_m += block_m
+        lower = pats[i][3]
+        i = j
+    if lower >= upper:
+        # error budgets so loose the regions meet/overlap: empty review
+        # region, single cut at the upper threshold
+        lower = upper
+    return upper, lower
+
+
+def fs_decide(
+    scored: DataFrame,
+    upper_weight: float,
+    lower_weight: float,
+) -> DataFrame:
+    """Add the three-region FS ``decision`` column over ``match_weight``:
+    ``link`` at ``weight >= upper``, ``nonlink`` at ``weight <= lower``
+    (strictly below upper), ``possible`` (clerical review) between.
+
+    Thresholds arrive as Python floats and are embedded as double
+    literals, so an ANSI-SQL twin embedding the same literals decides
+    bit-identically — same discipline as ``fs_weight_expr``.
+    """
+    if lower_weight > upper_weight:
+        raise ValueError(
+            f"lower_weight {lower_weight} > upper_weight {upper_weight}"
+        )
+    return scored.withColumn(
+        "decision",
+        F.when(F.col("match_weight") >= F.lit(float(upper_weight)),
+               F.lit("link"))
+        .when(F.col("match_weight") <= F.lit(float(lower_weight)),
+              F.lit("nonlink"))
+        .otherwise(F.lit("possible")),
+    )
+
+
 def fs_pattern_counts(gammas: DataFrame) -> list[tuple[tuple[int, ...], int]]:
     """ONE distributed aggregation: pair set -> (γ pattern, count).
 
