@@ -46,7 +46,13 @@ class LinkConfig:
     attr_max_chars: int | None = 512
     lsh_bands: int = 16           # bands (rows = num_hashes // bands)
     max_block_size: int = 64      # salt fan-out bound per block (P8 skew guard)
-    salt_mode: str = "hash"       # 'hash' (xxhash64(conv_id)) or 'rank' (row_number)
+    # 'rank' = sorted-neighborhood chunking (sort-adjacent records share a
+    # sub-block, so oversized blocks preferentially sacrifice UNLIKELY
+    # pairs — pairs completeness 0.898 vs 0.245 for scattering; see
+    # translink/blocking.py). 'hash' = stateless xxhash64(id) striping,
+    # kept for callers whose blocks have no similarity-correlated order
+    # (e.g. semantic-dedup k-means cells, translink/ann.py).
+    salt_mode: str = "rank"
     # ---- scoring (stage 4) ----------------------------------------------
     # cap text length for O(n*m) Levenshtein: the quadratic term dominates
     # pair scoring (measured 67s of a 96s stage at cap=512, 63k pairs); 256
