@@ -1428,6 +1428,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["link_fs_decisions"] = q_link_fs_decisions
 
+    # -- Fellegi–Sunter term-frequency adjustment (value-specific u for
+    #    the exact-match prefix field — FS 1969 §3.3 frequency weights /
+    #    Splink term_frequency_adjustments): agreement on a RARE prefix
+    #    outweighs agreement on corpus boilerplate. Posterior stays
+    #    rational ((C/n)/(1+C/n), C a Python-folded literal) so no
+    #    runtime log/pow enters the cross-engine comparison; the twin
+    #    folds L=C/N and multiplies by a runtime COUNT(*) column —
+    #    bit-identical (exact int→double, IEEE mult). ------------------
+    def q_link_fs_tf_scores(spark, sf_dir):
+        from translink.fellegi_sunter import (
+            comparison_vectors, fs_score_tf, prefix_tf,
+        )
+
+        c = _spark_canonical(spark, sf_dir)
+        n_total = c.count()  # one scalar action (same bound as the EM lane)
+        g = comparison_vectors(_link_scored_with_payload(spark, sf_dir), CFG)
+        return fs_score_tf(g, prefix_tf(c), n_total).select(
+            "conv_id_a", "conv_id_b", "g_prefix", "n_prefix", "match_prob_tf"
+        )
+    q["link_fs_tf_scores"] = q_link_fs_tf_scores
+
     def q_mm_image_features(spark, sf_dir):
         """Multimodal image lane end-to-end on REAL containers: documents
         derive a deterministic PNG asset table map-side
@@ -1467,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the long-green round-1/2 set follows in its original order. Pure
     # reordering — every (name, callable) pair is unchanged.
     never_checked = [
+        "link_fs_tf_scores",
         "blocking_eval", "link_fs_decisions", "dedup_eval_bcubed",
         "mm_image_features", "mm_audio_chunks",
         "link_matches", "link_fs_scores", "link_fs_matches",
@@ -2795,6 +2817,57 @@ SELECT conv_id_a, conv_id_b, match_weight,
             WHEN match_weight <= CAST('{_fs_lo!r}' AS DOUBLE) THEN 'nonlink'
             ELSE 'possible' END AS decision
 FROM weighted
+"""
+
+    # Term-frequency twin: per-pattern constants come from the SAME
+    # library arithmetic (fs_tf_pattern_constants at n_total=1, so C ≡ L —
+    # multiplying by 1.0 is an IEEE identity), and the runtime computation
+    # is (L * n_total / n_prefix) / (1 + (L * n_total / n_prefix)) in both
+    # engines: int→double conversion is exact below 2^53 and */+ are
+    # correctly rounded, so the posterior compares bit-identically with no
+    # runtime log/pow. NULL n_prefix (value absent from the frequency
+    # table; impossible here by construction, but the null-safe join keeps
+    # all-null-text corpora honest) falls back to the unadjusted literal.
+    from translink.fellegi_sunter import fs_tf_pattern_constants
+
+    def _fs_tf_case_sql():
+        branches = []
+        for pat, l_const, p_unadj in fs_tf_pattern_constants(1):
+            cond = " AND ".join(
+                f"{k} = {lvl}" for k, lvl in zip(_FS_FIELDS, pat)
+            )
+            p_lit = f"CAST('{p_unadj!r}' AS DOUBLE)"
+            if l_const is not None:
+                d = (f"(CAST('{l_const!r}' AS DOUBLE) * n_total / n_prefix)")
+                branches.append(
+                    f"WHEN {cond} AND n_prefix IS NOT NULL "
+                    f"THEN {d} / (1.0 + {d})"
+                )
+                branches.append(f"WHEN {cond} THEN {p_lit}")
+            else:
+                branches.append(f"WHEN {cond} THEN {p_lit}")
+        return "CASE " + " ".join(branches) + " END"
+
+    o["link_fs_tf_scores"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+{_LINK_SQL},
+{_SCORE_SQL},
+{_fs_gammas_sql},
+tfp AS (
+  SELECT canon_text[1:{_FS_PREFIX_CAP}] AS tf_prefix, COUNT(*) AS n_prefix
+  FROM canonical GROUP BY 1
+),
+ntot AS (SELECT COUNT(*) AS n_total FROM canonical),
+gp AS (
+  SELECT g.conv_id_a, g.conv_id_b, g.g_jac, g.g_lev, g.g_prefix, g.g_len,
+         p.canon_text_a[1:{_FS_PREFIX_CAP}] AS prefix_a
+  FROM gammas g JOIN cand_pairs p USING (conv_id_a, conv_id_b)
+)
+SELECT gp.conv_id_a, gp.conv_id_b, gp.g_prefix, t.n_prefix,
+       {_fs_tf_case_sql()} AS match_prob_tf
+FROM gp
+LEFT JOIN tfp t ON gp.prefix_a IS NOT DISTINCT FROM t.tf_prefix
+CROSS JOIN ntot
 """
 
     # Fellegi–Sunter EM twin: the EM loop is deterministic driver

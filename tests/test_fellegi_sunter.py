@@ -298,3 +298,96 @@ def test_fs_decide_rejects_crossed_thresholds(spark):
     df = spark.createDataFrame([(1, 0.0)], "pair_id int, match_weight double")
     with pytest.raises(ValueError):
         fs_decide(df, upper_weight=1.0, lower_weight=2.0)
+
+
+# --------------------------------------------------------------------------
+# Term-frequency adjustment (FS 1969 §3.3 value-specific weights / Splink
+# term_frequency_adjustments)
+# --------------------------------------------------------------------------
+
+def _tf_gammas(spark, rows):
+    """(conv_id_a, conv_id_b, canon_text_a, g_jac, g_lev, g_prefix, g_len)"""
+    return spark.createDataFrame(
+        rows,
+        "conv_id_a string, conv_id_b string, canon_text_a string, "
+        "g_jac int, g_lev int, g_prefix int, g_len int",
+    )
+
+
+def test_tf_rare_prefix_outweighs_common(spark):
+    from translink.fellegi_sunter import PREFIX_CAP, fs_score_tf, prefix_tf
+
+    rare = "r" * PREFIX_CAP
+    common = "c" * PREFIX_CAP
+    # corpus: 2 records carry the rare prefix, 40 the common one
+    corpus = spark.createDataFrame(
+        [(rare,)] * 2 + [(common,)] * 40, "canon_text string"
+    )
+    g = _tf_gammas(spark, [
+        ("a1", "b1", rare, 2, 2, 1, 1),
+        ("a2", "b2", common, 2, 2, 1, 1),
+    ])
+    out = {
+        r["conv_id_a"]: r["match_prob_tf"]
+        for r in fs_score_tf(g, prefix_tf(corpus), 42).collect()
+    }
+    assert out["a1"] > out["a2"]
+    # both still posteriors
+    assert 0.0 < out["a2"] <= out["a1"] <= 1.0
+
+
+def test_tf_disagreement_and_missing_value_fall_back_to_literals(spark):
+    from translink.fellegi_sunter import (
+        PREFIX_CAP, fs_pattern_literals, fs_score_tf, prefix_tf,
+    )
+
+    seen = "s" * PREFIX_CAP
+    unseen = "u" * PREFIX_CAP
+    corpus = spark.createDataFrame([(seen,)] * 5, "canon_text string")
+    g = _tf_gammas(spark, [
+        # disagreement: TF never applies, literal posterior stands
+        ("a1", "b1", seen, 2, 2, 0, 1),
+        # agreement on a value ABSENT from the frequency table: fallback
+        ("a2", "b2", unseen, 2, 2, 1, 1),
+    ])
+    out = {
+        r["conv_id_a"]: (r["n_prefix"], r["match_prob_tf"])
+        for r in fs_score_tf(g, prefix_tf(corpus), 5).collect()
+    }
+    lits = {pat: prob for pat, _, prob in fs_pattern_literals()}
+    assert out["a1"][1] == pytest.approx(lits[(2, 2, 0, 1)], abs=1e-12)
+    assert out["a2"][0] is None
+    assert out["a2"][1] == pytest.approx(lits[(2, 2, 1, 1)], abs=1e-12)
+
+
+def test_tf_posterior_matches_python_formula(spark):
+    from translink.fellegi_sunter import (
+        FIELDS, PREFIX_CAP, fs_score_tf, fs_tf_pattern_constants, prefix_tf,
+    )
+
+    val = "v" * PREFIX_CAP
+    n_val, n_total = 7, 100
+    corpus = spark.createDataFrame([(val,)] * n_val, "canon_text string")
+    g = _tf_gammas(spark, [("a1", "b1", val, 1, 2, 1, 0)])
+    got = fs_score_tf(g, prefix_tf(corpus), n_total).collect()[0]
+    consts = {
+        pat: c for pat, c, _ in fs_tf_pattern_constants(n_total)
+        if c is not None
+    }
+    d = consts[(1, 2, 1, 0)] / n_val
+    assert got["n_prefix"] == n_val
+    assert got["match_prob_tf"] == d / (1.0 + d)  # bit-exact by design
+    # constants only exist for g_prefix-agreement patterns
+    n_agree = sum(1 for _ in consts)
+    total = 1
+    for n in FIELDS.values():
+        total *= n
+    assert n_agree == total // FIELDS["g_prefix"]
+
+
+def test_fs_link_tables_tf_end_to_end(spark, planted):
+    a, b = planted
+    out = fs_link_tables(a, b, tf_adjust=True).collect()
+    got = {(r["conv_id_a"], r["conv_id_b"]) for r in out}
+    assert got == {(f"a{i:02d}", f"b{i:02d}") for i in range(15)}
+    assert all(r["match_prob"] >= 0.95 for r in out)

@@ -542,6 +542,7 @@ def fs_link_tables(
     params: FSParams | None = None,
     min_match_prob: float = 0.95,
     u_mode: str = "blocked",
+    tf_adjust: bool = False,
 ) -> DataFrame:
     """End-to-end probabilistic linkage of two corpora.
 
@@ -557,6 +558,12 @@ def fs_link_tables(
     (posterior = in-block quantity, the default decision semantics);
     ``"random"`` freezes u at ``fs_u_from_random_pairs`` so the posterior
     and ``min_match_prob`` are corpus-calibrated (module docstring).
+
+    ``tf_adjust=True`` decides on the VALUE-SPECIFIC posterior instead
+    (``fs_score_tf``): the model (fixed or EM-fit) is unchanged, but a
+    pair that agrees on the exact-match prefix is weighted by how rare
+    the agreed value is in the combined corpus — the Splink
+    term-frequency discipline (adjust at scoring, never inside the EM).
     """
     from translink.canonicalize import canonicalize
     from translink.blocking import with_block_key
@@ -590,8 +597,164 @@ def fs_link_tables(
         # re-runs once for scoring — localCheckpoint would trade memory
         # for that second pass at very large pair sets
         params = fs_em_fit(gammas, fixed_u=fixed_u)
+    if tf_adjust:
+        combined = prep(a_turns).unionByName(prep(b_turns))
+        n_total = combined.count()
+        probd = fs_score_tf(
+            fs_score(gammas, params), prefix_tf(combined), n_total, params
+        ).withColumn("score", F.col("match_prob_tf"))
+        out = mutual_best_matches(probd, cfg, threshold=min_match_prob)
+        return out.select(
+            "conv_id_a", "conv_id_b", "match_weight",
+            F.col("match_prob_tf").alias("match_prob"),
+        )
     probd = fs_score(gammas, params).withColumn(
         "score", F.col("match_prob")
     )
     out = mutual_best_matches(probd, cfg, threshold=min_match_prob)
     return out.select("conv_id_a", "conv_id_b", "match_weight", "match_prob")
+
+# --------------------------------------------------------------------------
+# Term-frequency adjustment (value-specific u for the exact-match field)
+# --------------------------------------------------------------------------
+
+def prefix_tf(records: DataFrame, text_col: str = "canon_text") -> DataFrame:
+    """Per-value frequency table for the ``g_prefix`` comparison field.
+
+    One ``groupBy`` over the corpus (both sides unioned by the caller for
+    a two-corpus linkage): ``(tf_prefix, n_prefix)`` where ``tf_prefix``
+    is the first-``PREFIX_CAP``-chars value and ``n_prefix`` its record
+    count. One row per DISTINCT prefix — joining it back to the pair set
+    never amplifies rows, and the join key distribution mirrors the pair
+    set's own prefix skew (a boilerplate prefix is hot on both sides of
+    that join for the same reason it produced many pairs; AQE skew-join
+    splits it).
+    """
+    return (
+        records
+        .select(F.substring(text_col, 1, PREFIX_CAP).alias("tf_prefix"))
+        .groupBy("tf_prefix")
+        .agg(F.count("*").alias("n_prefix"))
+    )
+
+
+def fs_tf_pattern_constants(
+    n_total: int, params: FSParams | None = None
+) -> list[tuple[tuple[int, ...], float | None, float]]:
+    """Per-pattern ``(pattern, C, p_unadjusted)`` for the TF-adjusted
+    posterior.
+
+    Fellegi & Sunter 1969 §3.3 derive VALUE-SPECIFIC weights (the
+    frequency-based weights their ε-method estimates); the public Splink
+    engine ships the same idea as ``term_frequency_adjustments``: when a
+    pair AGREES on an exact-match field, the evidence strength depends on
+    how common the agreed value is — agreement on a one-off prefix is
+    near-proof, agreement on corpus boilerplate is near-noise. The
+    per-value non-match probability for value v is its term frequency
+    ``tf(v) = n(v)/N`` (the chance a random record carries v), so the
+    field's Bayes factor on agreement becomes ``m₁ / tf(v) = m₁·N / n(v)``
+    in place of the global ``m₁/u₁``. Disagreement carries no value to
+    condition on and keeps the global level-0 factor (Splink semantics).
+
+    Cross-engine float discipline: the posterior must compare
+    bit-identically against an ANSI twin, and runtime ``log``/``pow`` are
+    not correctly-rounded across engines — so the TF lane never leaves
+    rational arithmetic. For each γ pattern with ``g_prefix = 1`` this
+    returns the Python-folded constant ``C = ((prior_odds · Π_other
+    BF_field) · m₁) · N`` so the runtime computation is two IEEE
+    divisions and one addition — ``d = C / n(v)``, ``p = d / (1 + d)`` —
+    which every engine rounds identically. A twin may equivalently fold
+    only ``L = (prior_odds · Π BF) · m₁`` at build time and multiply by a
+    runtime ``N`` column: integer→double conversion is exact below 2^53
+    and IEEE multiplication is correctly rounded, so ``(L · N) / n``
+    equals this ``C / n`` bit-for-bit. ``p_unadjusted`` is the plain
+    fixed-params posterior literal (the ``g_prefix = 0`` lane, and the
+    fallback when a prefix is missing from the frequency table).
+    """
+    params = params or FSParams()
+    prior_odds = params.lam / max(1.0 - params.lam, _EPS)
+    prefix_idx = list(FIELDS).index("g_prefix")
+    out = []
+    for pat in itertools.product(*(range(n) for n in FIELDS.values())):
+        odds = prior_odds
+        for k, lvl in zip(FIELDS, pat):
+            if k == "g_prefix":
+                continue
+            odds *= max(params.m[k][lvl], _EPS) / max(params.u[k][lvl], _EPS)
+        lvl_prefix = pat[prefix_idx]
+        full_odds = odds * (
+            max(params.m["g_prefix"][lvl_prefix], _EPS)
+            / max(params.u["g_prefix"][lvl_prefix], _EPS)
+        )
+        p_unadj = full_odds / (1.0 + full_odds)
+        c = (
+            (odds * max(params.m["g_prefix"][1], _EPS)) * float(n_total)
+            if lvl_prefix == 1 else None
+        )
+        out.append((pat, c, p_unadj))
+    return out
+
+
+def fs_tf_posterior_expr(
+    n_total: int,
+    params: FSParams | None = None,
+    n_col: str = "n_prefix",
+) -> F.Column:
+    """TF-adjusted ``match_prob`` as a CASE over the γ columns plus the
+    joined per-value count ``n_col`` (see ``fs_tf_pattern_constants``).
+
+    ≤ 36 γ patterns; agreement patterns get the rational value-specific
+    posterior ``(C/n) / (1 + C/n)``, with the unadjusted literal as the
+    NULL-``n`` fallback (prefix absent from the caller's frequency table
+    → no value evidence, global u stands — Splink's missing-TF
+    semantics); disagreement patterns are plain literals.
+    """
+    expr = None
+    n = F.col(n_col)
+    for pat, c, p_unadj in fs_tf_pattern_constants(n_total, params):
+        cond = None
+        for k, lvl in zip(FIELDS, pat):
+            cc = F.col(k) == F.lit(lvl)
+            cond = cc if cond is None else cond & cc
+        if c is not None:
+            d = F.lit(c) / n
+            branch_val = d / (F.lit(1.0) + d)
+            expr = (
+                F.when(cond & n.isNotNull(), branch_val) if expr is None
+                else expr.when(cond & n.isNotNull(), branch_val)
+            )
+            expr = expr.when(cond, F.lit(p_unadj))
+        else:
+            expr = (
+                F.when(cond, F.lit(p_unadj)) if expr is None
+                else expr.when(cond, F.lit(p_unadj))
+            )
+    return expr.otherwise(F.lit(None).cast("double"))
+
+
+def fs_score_tf(
+    gammas: DataFrame,
+    tf: DataFrame,
+    n_total: int,
+    params: FSParams | None = None,
+) -> DataFrame:
+    """Attach the value-specific posterior ``match_prob_tf`` to a gamma
+    frame.
+
+    Joins the one-row-per-value frequency table on the pair's own prefix
+    (``canon_text_a`` — on agreement the two sides' prefixes are equal by
+    definition; on disagreement the joined count is unused). Null-safe
+    equality so an all-null-text corpus degrades to the unadjusted lane
+    in both engines rather than silently dropping pairs. The join
+    shuffles on the prefix value with a ONE-row build side per key — no
+    row amplification at any scale.
+    """
+    g = gammas.withColumn(
+        "tf_prefix_a", F.substring("canon_text_a", 1, PREFIX_CAP)
+    )
+    joined = g.join(
+        tf, on=g["tf_prefix_a"].eqNullSafe(tf["tf_prefix"]), how="left"
+    ).drop("tf_prefix", "tf_prefix_a")
+    return joined.withColumn(
+        "match_prob_tf", fs_tf_posterior_expr(n_total, params)
+    )
