@@ -1428,6 +1428,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["link_fs_decisions"] = q_link_fs_decisions
 
+    # -- Clerical-review queue (the work queue the FS three-region rule
+    #    exists to bound): every 'possible' pair ranked per left record
+    #    by descending weight, shortlist capped at 5 — the rank window
+    #    partitions per record, never globally. ------------------------
+    def q_link_review_queue(spark, sf_dir):
+        from translink.fellegi_sunter import (
+            comparison_vectors, fs_decide, fs_review_queue,
+            fs_thresholds_from_error_rates, fs_weight_expr,
+        )
+
+        g = comparison_vectors(_link_scored_with_payload(spark, sf_dir), CFG)
+        upper, lower = fs_thresholds_from_error_rates(mu=0.001, lam_err=0.02)
+        w = g.withColumn("match_weight", fs_weight_expr())
+        return fs_review_queue(
+            fs_decide(w, upper, lower), per_record_cap=5
+        ).select("conv_id_a", "conv_id_b", "match_weight", "queue_pos")
+    q["link_review_queue"] = q_link_review_queue
+
     # -- Fellegi–Sunter term-frequency adjustment (value-specific u for
     #    the exact-match prefix field — FS 1969 §3.3 frequency weights /
     #    Splink term_frequency_adjustments): agreement on a RARE prefix
@@ -1488,7 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the long-green round-1/2 set follows in its original order. Pure
     # reordering — every (name, callable) pair is unchanged.
     never_checked = [
-        "link_fs_tf_scores",
+        "link_fs_tf_scores", "link_review_queue",
         "blocking_eval", "link_fs_decisions", "dedup_eval_bcubed",
         "mm_image_features", "mm_audio_chunks",
         "link_matches", "link_fs_scores", "link_fs_matches",
@@ -2868,6 +2886,30 @@ SELECT gp.conv_id_a, gp.conv_id_b, gp.g_prefix, t.n_prefix,
 FROM gp
 LEFT JOIN tfp t ON gp.prefix_a IS NOT DISTINCT FROM t.tf_prefix
 CROSS JOIN ntot
+"""
+
+    # Review-queue twin: the 'possible' region is the strict open interval
+    # (lower, upper) — the complement of fs_decide's >= / <= regions — and
+    # queue_pos ranks per conv_id_a by (weight DESC, conv_id_b), a total
+    # order over shared-literal weights, capped at 5.
+    o["link_review_queue"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+{_LINK_SQL},
+{_SCORE_SQL},
+{_fs_gammas_sql},
+weighted AS (
+  SELECT conv_id_a, conv_id_b,
+         {_fs_weight_sql(FSParams())} AS match_weight
+  FROM gammas
+)
+SELECT conv_id_a, conv_id_b, match_weight,
+       CAST(row_number() OVER (PARTITION BY conv_id_a
+                               ORDER BY match_weight DESC, conv_id_b)
+            AS INT) AS queue_pos
+FROM weighted
+WHERE match_weight < CAST('{_fs_up!r}' AS DOUBLE)
+  AND match_weight > CAST('{_fs_lo!r}' AS DOUBLE)
+QUALIFY queue_pos <= 5
 """
 
     # Fellegi–Sunter EM twin: the EM loop is deterministic driver

@@ -391,3 +391,34 @@ def test_fs_link_tables_tf_end_to_end(spark, planted):
     got = {(r["conv_id_a"], r["conv_id_b"]) for r in out}
     assert got == {(f"a{i:02d}", f"b{i:02d}") for i in range(15)}
     assert all(r["match_prob"] >= 0.95 for r in out)
+
+
+def test_review_queue_ranks_possible_pairs_per_record(spark):
+    from translink.fellegi_sunter import fs_decide, fs_review_queue
+
+    decided = fs_decide(
+        spark.createDataFrame(
+            [
+                ("a1", "b1", 9.0),   # link at upper=8
+                ("a1", "b2", 5.0),   # possible
+                ("a1", "b3", 7.0),   # possible — ranks first for a1
+                ("a1", "b4", -4.0),  # nonlink at lower=-3
+                ("a2", "b5", 5.0),   # possible — rank 1 for a2
+                ("a2", "b6", 5.0),   # tie: conv_id_b breaks -> rank 2
+            ],
+            "conv_id_a string, conv_id_b string, match_weight double",
+        ),
+        upper_weight=8.0, lower_weight=-3.0,
+    )
+    got = {
+        (r["conv_id_a"], r["conv_id_b"]): r["queue_pos"]
+        for r in fs_review_queue(decided).collect()
+    }
+    assert got == {
+        ("a1", "b3"): 1, ("a1", "b2"): 2,
+        ("a2", "b5"): 1, ("a2", "b6"): 2,
+    }
+    capped = fs_review_queue(decided, per_record_cap=1).collect()
+    assert {(r["conv_id_a"], r["conv_id_b"]) for r in capped} == {
+        ("a1", "b3"), ("a2", "b5"),
+    }

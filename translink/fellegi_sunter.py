@@ -55,7 +55,7 @@ import itertools
 import math
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from translink.config import LinkConfig
 
@@ -358,6 +358,38 @@ def fs_decide(
               F.lit("nonlink"))
         .otherwise(F.lit("possible")),
     )
+
+
+def fs_review_queue(
+    decided: DataFrame,
+    per_record_cap: int | None = None,
+) -> DataFrame:
+    """Clerical-review queue over the ``possible`` region of ``fs_decide``.
+
+    The FS 1969 three-region rule exists to BOUND human review; this is
+    the work queue it implies: every pair the model could not decide,
+    ranked per left-side record by descending match weight (reviewers
+    see a record's most plausible candidates first — the practice public
+    linkage engines ship around their clerical-review region). The rank
+    window partitions by ``conv_id_a`` — per-record, never global, so no
+    single-partition sort exists at any corpus size; ``per_record_cap``
+    truncates each record's shortlist (a reviewer protection, and a
+    hard bound on queue size: ≤ cap × |A|).
+
+    Ties on weight break by ``conv_id_b`` so the queue order is total
+    and reproducible across engines.
+    """
+    w = (
+        Window.partitionBy("conv_id_a")
+        .orderBy(F.col("match_weight").desc(), "conv_id_b")
+    )
+    out = (
+        decided.filter(F.col("decision") == "possible")
+        .withColumn("queue_pos", F.row_number().over(w))
+    )
+    if per_record_cap is not None:
+        out = out.filter(F.col("queue_pos") <= int(per_record_cap))
+    return out
 
 
 def fs_pattern_counts(gammas: DataFrame) -> list[tuple[tuple[int, ...], int]]:
