@@ -34,6 +34,11 @@ from translink.signatures import with_exact_digest
 # reproducible in ANSI SQL (row_number), unlike the default hash salt.
 CFG = LinkConfig(salt_mode="rank")
 
+#: Stricter edge threshold for the cluster-stability split report: base
+#: clusters re-clustered at this score must not scatter for their evidence
+#: to count as uniformly strong (shared literal with the DuckDB twin).
+STRICT_THRESHOLD = 0.90
+
 TURNS_PER_CONV = 8
 #: canonicalize() caps each turn's cleaned text at cfg.turn_text_cap chars;
 #: the DuckDB canonical CTE must apply the IDENTICAL substr or any turn
@@ -1499,6 +1504,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunk_audio(assets, window_ms=100, hop_ms=50, fake_decode=False)
     q["mm_audio_chunks"] = q_mm_audio_chunks
 
+    # -- Fellegi–Sunter match-weight waterfall (per-field evidence ledger,
+    #    the Splink waterfall-chart data): every pair's prior weight plus
+    #    one literal-CASE column per comparison field, summed in the same
+    #    left-to-right order as the scoring lane — pure map-side, zero
+    #    aggregation. ---------------------------------------------------
+    def q_link_fs_waterfall(spark, sf_dir):
+        from translink.fellegi_sunter import comparison_vectors, fs_waterfall
+
+        g = comparison_vectors(_link_scored_with_payload(spark, sf_dir), CFG)
+        return fs_waterfall(g).select(
+            "conv_id_a", "conv_id_b", "w_prior", "w_jac", "w_lev",
+            "w_prefix", "w_len", "match_weight",
+        )
+    q["link_fs_waterfall"] = q_link_fs_waterfall
+
+    # -- Unlinkables report (coverage diagnostic): A-side records with no
+    #    candidate at all (blocking miss) or none above threshold
+    #    (scoring miss) — one aggregate over the sparse pair set + one
+    #    key join back to the corpus. -----------------------------------
+    def q_link_unlinkables(spark, sf_dir):
+        from translink.linkage import unlinkable_records
+
+        c = _spark_canonical(spark, sf_dir)
+        is_b = (
+            F.col("conv_id").endswith("_dup")
+            | F.col("conv_id").endswith("_nd")
+        )
+        return unlinkable_records(
+            c.filter(~is_b), _link_scored_with_payload(spark, sf_dir), CFG
+        )
+    q["link_unlinkables"] = q_link_unlinkables
+
+    # -- Per-cluster evidence-graph diagnostics (over-merge audit): edge
+    #    counts per evidence lane, minimum similarity edge score, and
+    #    similarity-graph density for every multi-member cluster. -------
+    def q_cluster_graph_stats(spark, sf_dir):
+        from translink.clustering import exact_edges
+        from translink.evaluate import cluster_graph_stats
+
+        # scored pairs feed both the cluster edges and the per-cluster edge
+        # stats — checkpoint once (same discipline as q_cluster_similarity)
+        scored = _spark_scored_pairs(spark, sf_dir).select(
+            "conv_id_a", "conv_id_b", "score"
+        ).localCheckpoint(eager=True)
+        cl = _clusters_from_scored(spark, sf_dir, scored)
+        sim = scored.filter(F.col("score") >= CFG.threshold).select(
+            F.col("conv_id_a").alias("src"),
+            F.col("conv_id_b").alias("dst"),
+            "score",
+        )
+        star = exact_edges(with_exact_digest(_spark_canonical(spark, sf_dir)))
+        return cluster_graph_stats(cl, sim, star)
+    q["cluster_graph_stats"] = q_cluster_graph_stats
+
+    # -- Cluster threshold-stability (split report): the same evidence
+    #    re-clustered at a stricter threshold; per base cluster, how many
+    #    strict sub-clusters its members scatter into. ------------------
+    def q_cluster_stability(spark, sf_dir):
+        from translink.clustering import clusters_by_contraction
+        from translink.evaluate import cluster_stability
+
+        scored = _spark_scored_pairs(spark, sf_dir).select(
+            "conv_id_a", "conv_id_b", "score"
+        ).localCheckpoint(eager=True)
+        signed = with_exact_digest(
+            _spark_canonical(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+
+        def cc(thr):
+            e = scored.filter(F.col("score") >= thr).select(
+                F.col("conv_id_a").alias("src"),
+                F.col("conv_id_b").alias("dst"),
+            )
+            return clusters_by_contraction(signed, e, CFG)
+
+        return cluster_stability(cc(CFG.threshold), cc(STRICT_THRESHOLD))
+    q["cluster_stability"] = q_cluster_stability
+
     # Driver-coverage ordering: the correctness harness sweeps queries in
     # registration order and round 3 showed it stops near ~50 entries, so
     # the queries that have never received a CORRECTNESS_r{n}.json entry
@@ -1506,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the long-green round-1/2 set follows in its original order. Pure
     # reordering — every (name, callable) pair is unchanged.
     never_checked = [
+        "link_fs_waterfall", "link_unlinkables",
+        "cluster_graph_stats", "cluster_stability",
         "link_fs_tf_scores", "link_review_queue",
         "blocking_eval", "link_fs_decisions", "dedup_eval_bcubed",
         "mm_image_features", "mm_audio_chunks",
@@ -2910,6 +2995,163 @@ FROM weighted
 WHERE match_weight < CAST('{_fs_up!r}' AS DOUBLE)
   AND match_weight > CAST('{_fs_lo!r}' AS DOUBLE)
 QUALIFY queue_pos <= 5
+"""
+
+    # Waterfall twin: each field's weight is the SAME literal CASE the
+    # engine's fs_field_weight_expr embeds; the total is the identical
+    # left-to-right sum (_fs_weight_sql), and the prior weight is one
+    # Python-computed literal — nothing engine-evaluated beyond CASE + add.
+    def _fs_field_weight_sql(k, params):
+        w = params.weights()
+        return (
+            "CASE "
+            + " ".join(
+                f"WHEN {k} = {lvl} THEN CAST('{w[k][lvl]!r}' AS DOUBLE)"
+                for lvl in range(_FS_FIELDS[k])
+            )
+            + " END"
+        )
+
+    import math as _math
+    _fs_p = FSParams()
+    _fs_prior_w = _math.log2(max(_fs_p.lam, 1e-6) / max(1.0 - _fs_p.lam, 1e-6))
+    o["link_fs_waterfall"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+{_LINK_SQL},
+{_SCORE_SQL},
+{_fs_gammas_sql}
+SELECT conv_id_a, conv_id_b,
+       CAST('{_fs_prior_w!r}' AS DOUBLE) AS w_prior,
+       {_fs_field_weight_sql('g_jac', _fs_p)} AS w_jac,
+       {_fs_field_weight_sql('g_lev', _fs_p)} AS w_lev,
+       {_fs_field_weight_sql('g_prefix', _fs_p)} AS w_prefix,
+       {_fs_field_weight_sql('g_len', _fs_p)} AS w_len,
+       {_fs_weight_sql(_fs_p)} AS match_weight
+FROM gammas
+"""
+
+    # Unlinkables twin: MAX over the identically-computed pair scores is
+    # accumulation-order-free, so best_score compares bit-identically;
+    # blocking misses surface as NULL best_score with n_candidates 0.
+    o["link_unlinkables"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+{_LINK_SQL},
+{_SCORE_SQL},
+best AS (
+  SELECT conv_id_a, CAST(count(*) AS BIGINT) AS n_candidates,
+         max(score) AS best_score
+  FROM scored_final GROUP BY 1
+)
+SELECT c.conv_id AS conv_id_a,
+       CAST(coalesce(b.n_candidates, 0) AS BIGINT) AS n_candidates,
+       b.best_score AS best_score
+FROM canonical c LEFT JOIN best b ON c.conv_id = b.conv_id_a
+WHERE NOT (ends_with(c.conv_id, '_dup') OR ends_with(c.conv_id, '_nd'))
+  AND (b.best_score IS NULL OR b.best_score < {CFG.threshold})
+"""
+
+    # Cluster evidence-graph twin: same closure as o["clusters"], then
+    # MIN/COUNT-only per-cluster aggregates (no order-dependent float SUM)
+    # and one IEEE division of exact integers for the density.
+    o["cluster_graph_stats"] = f"""
+WITH RECURSIVE {_TRANSCRIPTS_SQL}, {_BLOCKED_SQL}, {_SCORE_SQL},
+sim_edges AS (
+  SELECT conv_id_a AS src, conv_id_b AS dst, score
+  FROM scored_final WHERE score >= {CFG.threshold}
+),
+exact_star AS (
+  SELECT r.src, r.dst FROM (
+    SELECT min(conv_id) OVER (PARTITION BY canon_text) AS src, conv_id AS dst
+    FROM canonical
+  ) r WHERE r.src <> r.dst
+),
+all_edges AS (
+  SELECT src, dst FROM sim_edges
+  UNION
+  SELECT src, dst FROM exact_star
+),
+sym AS (
+  SELECT src, dst FROM all_edges
+  UNION
+  SELECT dst, src FROM all_edges
+),
+reach(a, b) AS (
+  SELECT conv_id, conv_id FROM canonical
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src
+),
+clu AS (SELECT a AS conv_id, min(b) AS cluster_id FROM reach GROUP BY a),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM clu GROUP BY 1 HAVING count(*) >= 2
+),
+per_sim AS (
+  SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_sim_edges,
+         min(e.score) AS min_edge_score
+  FROM sim_edges e JOIN clu c ON e.src = c.conv_id GROUP BY 1
+),
+per_exact AS (
+  SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_exact_edges
+  FROM exact_star e JOIN clu c ON e.src = c.conv_id GROUP BY 1
+)
+SELECT s.cluster_id, s.n_members,
+       CAST(coalesce(p.n_sim_edges, 0) AS BIGINT) AS n_sim_edges,
+       CAST(coalesce(x.n_exact_edges, 0) AS BIGINT) AS n_exact_edges,
+       p.min_edge_score,
+       CAST(2 * coalesce(p.n_sim_edges, 0) AS DOUBLE)
+         / (s.n_members * (s.n_members - 1)) AS sim_density
+FROM sizes s
+LEFT JOIN per_sim p USING (cluster_id)
+LEFT JOIN per_exact x USING (cluster_id)
+"""
+
+    # Stability twin: the SAME closure twice — once at the engine threshold,
+    # once at the strict literal — then an exact integer count(distinct)
+    # of strict sub-clusters per base cluster.
+    o["cluster_stability"] = f"""
+WITH RECURSIVE {_TRANSCRIPTS_SQL}, {_BLOCKED_SQL}, {_SCORE_SQL},
+exact_star AS (
+  SELECT r.src, r.dst FROM (
+    SELECT min(conv_id) OVER (PARTITION BY canon_text) AS src, conv_id AS dst
+    FROM canonical
+  ) r WHERE r.src <> r.dst
+),
+base_edges AS (
+  SELECT conv_id_a AS src, conv_id_b AS dst
+  FROM scored_final WHERE score >= {CFG.threshold}
+  UNION
+  SELECT src, dst FROM exact_star
+),
+strict_edges AS (
+  SELECT conv_id_a AS src, conv_id_b AS dst
+  FROM scored_final WHERE score >= {STRICT_THRESHOLD}
+  UNION
+  SELECT src, dst FROM exact_star
+),
+sym_b AS (
+  SELECT src, dst FROM base_edges UNION SELECT dst, src FROM base_edges
+),
+sym_s AS (
+  SELECT src, dst FROM strict_edges UNION SELECT dst, src FROM strict_edges
+),
+reach_b(a, b) AS (
+  SELECT conv_id, conv_id FROM canonical
+  UNION
+  SELECT r.a, e.dst FROM reach_b r JOIN sym_b e ON r.b = e.src
+),
+reach_s(a, b) AS (
+  SELECT conv_id, conv_id FROM canonical
+  UNION
+  SELECT r.a, e.dst FROM reach_s r JOIN sym_s e ON r.b = e.src
+),
+clu_b AS (SELECT a AS conv_id, min(b) AS cluster_id FROM reach_b GROUP BY a),
+clu_s AS (SELECT a AS conv_id, min(b) AS cluster_id FROM reach_s GROUP BY a)
+SELECT b.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(DISTINCT s.cluster_id) AS BIGINT) AS n_sub,
+       count(DISTINCT s.cluster_id) > 1 AS splits
+FROM clu_b b JOIN clu_s s USING (conv_id)
+GROUP BY 1 HAVING count(*) >= 2
 """
 
     # Fellegi–Sunter EM twin: the EM loop is deterministic driver

@@ -131,3 +131,64 @@ def test_bcubed_query_matches_helper_on_derived_corpus(spark):
     assert n > 0
     assert p == 1.0   # exact clustering never merges distinct texts
     assert 0.5 < r < 1.0  # _nd twins stay split -> recall below 1
+
+
+# -- cluster evidence-graph diagnostics ------------------------------------
+
+def _graph_frames(spark):
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d"),
+         ("f", "f")],
+        "conv_id string, cluster_id string",
+    )
+    sim = spark.createDataFrame(
+        [("a", "b", 0.8), ("b", "c", 0.75)],
+        "src string, dst string, score double",
+    )
+    star = spark.createDataFrame(
+        [("d", "e")], "src string, dst string"
+    )
+    return clusters, sim, star
+
+
+def test_cluster_graph_stats_per_lane_counts(spark):
+    from translink.evaluate import cluster_graph_stats
+
+    clusters, sim, star = _graph_frames(spark)
+    rows = {
+        r["cluster_id"]: r
+        for r in cluster_graph_stats(clusters, sim, star).collect()
+    }
+    # singleton f never appears
+    assert set(rows) == {"a", "d"}
+    a = rows["a"]
+    assert (a["n_members"], a["n_sim_edges"], a["n_exact_edges"]) == (3, 2, 0)
+    assert a["min_edge_score"] == 0.75          # thin chain: min hugs 0.75
+    assert abs(a["sim_density"] - 4 / 6) < 1e-12  # 2 of 3 possible pairs
+    d = rows["d"]
+    assert (d["n_members"], d["n_sim_edges"], d["n_exact_edges"]) == (2, 0, 1)
+    assert d["min_edge_score"] is None          # exact evidence only
+    assert d["sim_density"] == 0.0
+
+
+def test_cluster_stability_split_report(spark):
+    from translink.evaluate import cluster_stability
+
+    base = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d"),
+         ("f", "f")],
+        "conv_id string, cluster_id string",
+    )
+    # at the strict threshold, base cluster 'a' scatters into {a,b} + {c};
+    # 'd' survives intact; singleton 'f' is excluded (n_members < 2)
+    strict = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "d"), ("e", "d"),
+         ("f", "f")],
+        "conv_id string, cluster_id string",
+    )
+    rows = {
+        r["cluster_id"]: r for r in cluster_stability(base, strict).collect()
+    }
+    assert set(rows) == {"a", "d"}
+    assert (rows["a"]["n_sub"], rows["a"]["splits"]) == (2, True)
+    assert (rows["d"]["n_sub"], rows["d"]["splits"]) == (1, False)

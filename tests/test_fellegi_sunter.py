@@ -422,3 +422,52 @@ def test_review_queue_ranks_possible_pairs_per_record(spark):
     assert {(r["conv_id_a"], r["conv_id_b"]) for r in capped} == {
         ("a1", "b3"), ("a2", "b5"),
     }
+
+
+# -- waterfall (per-field evidence ledger) ----------------------------------
+
+def test_waterfall_fields_sum_to_match_weight(spark):
+    from translink.fellegi_sunter import FIELDS, FSParams, fs_waterfall
+
+    gammas = spark.createDataFrame(
+        [(0, 0, 0, 0), (2, 2, 1, 1), (1, 0, 1, 0), (2, 1, 0, 1)],
+        "g_jac int, g_lev int, g_prefix int, g_len int",
+    )
+    params = FSParams()
+    w = params.weights()
+    for r in fs_waterfall(gammas, params).collect():
+        # each field column is exactly its level's literal weight
+        for k in FIELDS:
+            assert r[f"w_{k[2:]}"] == w[k][r[k]]
+        # the total is the same left-to-right sum the scoring lane embeds
+        total = ((r["w_jac"] + r["w_lev"]) + r["w_prefix"]) + r["w_len"]
+        assert r["match_weight"] == total
+
+
+def test_waterfall_prior_weight_is_log_prior_odds(spark):
+    from translink.fellegi_sunter import FSParams, fs_waterfall
+
+    gammas = spark.createDataFrame(
+        [(0, 0, 0, 0)], "g_jac int, g_lev int, g_prefix int, g_len int"
+    )
+    params = FSParams()
+    row = fs_waterfall(gammas, params).first()
+    assert row["w_prior"] == math.log2(params.lam / (1.0 - params.lam))
+
+
+def test_waterfall_total_matches_fs_score_weight(spark):
+    from translink.fellegi_sunter import fs_score, fs_waterfall
+
+    gammas = spark.createDataFrame(
+        [(2, 2, 1, 1), (0, 1, 0, 1)],
+        "g_jac int, g_lev int, g_prefix int, g_len int",
+    )
+    wf = {
+        (r["g_jac"], r["g_lev"], r["g_prefix"], r["g_len"]): r["match_weight"]
+        for r in fs_waterfall(gammas).collect()
+    }
+    sc = {
+        (r["g_jac"], r["g_lev"], r["g_prefix"], r["g_len"]): r["match_weight"]
+        for r in fs_score(gammas).collect()
+    }
+    assert wf == sc

@@ -179,3 +179,28 @@ def test_mutual_best_tie_breaks_deterministic(spark):
         for r in mutual_best_matches(scored, LinkConfig(threshold=0.7)).collect()
     }
     assert got == {("a1", "b1"), ("a2", "b3")}
+
+
+# -- unlinkables (coverage diagnostic) ---------------------------------------
+
+def test_unlinkable_records_separates_blocking_and_scoring_misses(spark):
+    from translink.linkage import unlinkable_records
+
+    a_records = spark.createDataFrame(
+        [("a1",), ("a2",), ("a3",)], "conv_id string"
+    )
+    scored = spark.createDataFrame(
+        [("a1", "b1", 0.9), ("a1", "b2", 0.5), ("a2", "b1", 0.3)],
+        "conv_id_a string, conv_id_b string, score double",
+    )
+    rows = {
+        r["conv_id_a"]: r
+        for r in unlinkable_records(
+            a_records, scored, LinkConfig(threshold=0.7)
+        ).collect()
+    }
+    assert set(rows) == {"a2", "a3"}      # a1 linked at 0.9 -> absent
+    assert (rows["a2"]["n_candidates"], rows["a2"]["best_score"]) == (1, 0.3)
+    # a3 never collided in blocking: the blocking-miss signature
+    assert rows["a3"]["n_candidates"] == 0
+    assert rows["a3"]["best_score"] is None

@@ -205,3 +205,113 @@ def bcubed_prf(
     r = sum(k * s * s / ts for _, ts, s, k in hist) / n
     f1 = 2 * p * r / (p + r) if p + r else 0.0
     return {"n_records": n, "precision": p, "recall": r, "f1": f1}
+
+
+def cluster_graph_stats(
+    clusters: DataFrame,
+    sim_edges: DataFrame,
+    exact_star_edges: DataFrame,
+) -> DataFrame:
+    """Per-cluster evidence-graph diagnostics (the over-merge audit).
+
+    For every multi-member cluster: how much evidence holds it together,
+    and of which kind. ``n_sim_edges`` / ``min_edge_score`` read on the
+    similarity lane (a big cluster whose minimum edge score hugs the
+    threshold is a chaining suspect); ``n_exact_edges`` counts the
+    exact-digest star edges (a cluster with similarity edges absent is
+    held together by byte-identical evidence only); ``sim_density`` is
+    ``2·n_sim_edges / (n·(n-1))`` — near 1 means every member pair was
+    independently scored as similar (clique-like, safe), near 0 on a
+    large cluster means a thin chain (review candidate). This is the
+    cluster-quality practice of public linkage engines (Splink's cluster
+    metrics: node degree, density) expressed over the engine's two edge
+    lanes.
+
+    Inputs: ``clusters (conv_id, cluster_id)`` covering every record;
+    ``sim_edges (src, dst, score)`` — thresholded scored pairs;
+    ``exact_star_edges (src, dst)`` — the linear exact-digest stars
+    (``clustering.exact_edges``). Every edge is intra-cluster by CC
+    construction, so ONE endpoint join labels it.
+
+    Scale shape: two key joins sized by the sparse edge sets + three
+    aggregates, all on ``cluster_id`` — no pair re-generation, nothing
+    quadratic; MIN/COUNT only (no order-dependent float SUM), and the
+    density is one IEEE division of exact integers, so every column is
+    reproducible in ANSI SQL bit-for-bit.
+    """
+    lab = clusters.select(
+        F.col("conv_id").alias("src"), F.col("cluster_id")
+    )
+    per_sim = (
+        sim_edges.select("src", "score")
+        .join(lab, "src")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_sim_edges"),
+            F.min("score").alias("min_edge_score"),
+        )
+    )
+    per_exact = (
+        exact_star_edges.select("src")
+        .join(lab, "src")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_exact_edges"))
+    )
+    sizes = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    return (
+        sizes.join(per_sim, "cluster_id", "left")
+        .join(per_exact, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce("n_sim_edges", F.lit(0).cast("long"))
+            .alias("n_sim_edges"),
+            F.coalesce("n_exact_edges", F.lit(0).cast("long"))
+            .alias("n_exact_edges"),
+            "min_edge_score",
+            (
+                (F.coalesce("n_sim_edges", F.lit(0)) * F.lit(2))
+                .cast("double")
+                / (F.col("n_members") * (F.col("n_members") - F.lit(1)))
+            ).alias("sim_density"),
+        )
+    )
+
+
+def cluster_stability(
+    base_clusters: DataFrame, strict_clusters: DataFrame
+) -> DataFrame:
+    """Threshold-sensitivity of every cluster (the split report).
+
+    Re-clustering the SAME edge evidence at a stricter threshold and
+    counting, per base cluster, how many strict sub-clusters its members
+    fall into is the standard distance-threshold sensitivity diagnostic:
+    a base cluster with ``n_sub = 1`` survives the stricter standard
+    intact (its evidence is uniformly strong); ``n_sub > 1`` marks a
+    cluster glued by near-threshold edges — the over-merge review queue,
+    ranked by ``n_sub``.
+
+    Inputs are two full assignments over the same ids (``conv_id,
+    cluster_id``). One key join + one aggregate; ``count(distinct)`` is
+    exact and order-free. Multi-member base clusters only.
+    """
+    strict = strict_clusters.select(
+        "conv_id", F.col("cluster_id").alias("strict_cluster_id")
+    )
+    return (
+        base_clusters.join(strict, "conv_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("strict_cluster_id").alias("n_sub"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "cluster_id", "n_members", "n_sub",
+            (F.col("n_sub") > 1).alias("splits"),
+        )
+    )

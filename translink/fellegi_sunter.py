@@ -146,6 +146,16 @@ def comparison_vectors(scored_pairs: DataFrame, cfg: LinkConfig | None = None) -
     })
 
 
+def fs_field_weight_expr(field: str, params: FSParams | None = None) -> F.Column:
+    """One comparison field's log2(m/u) weight as a literal CASE column."""
+    params = params or FSParams()
+    w = params.weights()[field]
+    expr = F.when(F.col(field) == 0, F.lit(w[0]))
+    for lvl in range(1, FIELDS[field]):
+        expr = expr.when(F.col(field) == lvl, F.lit(w[lvl]))
+    return expr.otherwise(F.lit(None).cast("double"))
+
+
 def fs_weight_expr(params: FSParams | None = None) -> F.Column:
     """Match-weight column: sum over fields of the level's log2(m/u).
 
@@ -155,17 +165,39 @@ def fs_weight_expr(params: FSParams | None = None) -> F.Column:
     the comparison.
     """
     params = params or FSParams()
-    w = params.weights()
-    terms = []
-    for k, n_levels in FIELDS.items():
-        expr = F.when(F.col(k) == 0, F.lit(w[k][0]))
-        for lvl in range(1, n_levels):
-            expr = expr.when(F.col(k) == lvl, F.lit(w[k][lvl]))
-        terms.append(expr.otherwise(F.lit(None).cast("double")))
+    terms = [fs_field_weight_expr(k, params) for k in FIELDS]
     out = terms[0]
     for t in terms[1:]:
         out = out + t
     return out
+
+
+def fs_waterfall(gammas: DataFrame, params: FSParams | None = None) -> DataFrame:
+    """Per-field match-weight decomposition — the linkage "waterfall".
+
+    The explainability surface public FS engines ship (Splink's waterfall
+    chart data): for every pair, one column per comparison field holding
+    that field's contribution to the match weight (``w_jac``, ``w_lev``,
+    ``w_prefix``, ``w_len``), the prior weight ``w_prior = log2(λ/(1-λ))``
+    the chart starts from, and ``match_weight`` — the same left-to-right
+    literal sum ``fs_weight_expr`` produces, so the total is bit-identical
+    to the scoring lane's. A reviewer reads a pair's row as "start at the
+    prior, each field moves the evidence by its column" — the full
+    posterior audit trail with zero extra passes over the data (pure
+    map-side literal CASEs on the γ columns; nothing is aggregated).
+
+    Reference analog: the per-stage confidence trace of the staged
+    cheap-to-expensive comparison cascade (README.md:19-47) — here as the
+    per-field log-likelihood ledger of the probabilistic model.
+    """
+    params = params or FSParams()
+    prior = math.log2(
+        max(params.lam, _EPS) / max(1.0 - params.lam, _EPS)
+    )
+    out = gammas.withColumn("w_prior", F.lit(prior))
+    for k in FIELDS:
+        out = out.withColumn(f"w_{k[2:]}", fs_field_weight_expr(k, params))
+    return out.withColumn("match_weight", fs_weight_expr(params))
 
 
 def fs_score(gammas: DataFrame, params: FSParams | None = None) -> DataFrame:

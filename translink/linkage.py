@@ -201,3 +201,53 @@ def link_tables(
     keep = ["conv_id_a", "conv_id_b", "token_jaccard", "levenshtein_sim",
             "score"]
     return mutual_best_matches(scored, cfg, threshold).select(*keep)
+
+
+def unlinkable_records(
+    a_records: DataFrame,
+    scored: DataFrame,
+    cfg: LinkConfig | None = None,
+    threshold: float | None = None,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """A-side records the linkage cannot match — the coverage diagnostic.
+
+    A record is unlinkable when it has NO candidate pair at all (blocking
+    never collided it with any B record) or its best-scoring candidate
+    falls below ``threshold`` (default ``cfg.threshold``). Public linkage
+    engines ship this as the "unlinkables" analysis: the fraction of the
+    corpus that cannot be linked at a given threshold bounds achievable
+    recall BEFORE any model tuning, and separates blocking misses
+    (``n_candidates = 0`` — fix the blocking keys) from scoring misses
+    (``best_score < threshold`` — fix the comparison or the threshold).
+
+    Scale shape: one aggregate over the SPARSE scored pair set (grouped by
+    the A-side id), one key join back to the A corpus — no new pair
+    generation, no window, nothing quadratic. ``best_score`` is a MAX
+    (accumulation-order-free), so the column is exactly reproducible in
+    ANSI SQL over the same pair scores.
+
+    Returns ``({id}_a, n_candidates, best_score)`` — ``best_score`` NULL
+    and ``n_candidates = 0`` for blocking misses.
+    """
+    cfg = cfg or LinkConfig()
+    thr = cfg.threshold if threshold is None else threshold
+    a = f"{id_col}_a"
+    best = scored.groupBy(a).agg(
+        F.count("*").alias("n_candidates"),
+        F.max("score").alias("best_score"),
+    )
+    return (
+        a_records.select(F.col(id_col).alias(a))
+        .join(best, a, "left")
+        .filter(
+            F.col("best_score").isNull()
+            | (F.col("best_score") < F.lit(float(thr)))
+        )
+        .select(
+            a,
+            F.coalesce(F.col("n_candidates"), F.lit(0).cast("long"))
+            .alias("n_candidates"),
+            "best_score",
+        )
+    )
