@@ -39,6 +39,10 @@ CFG = LinkConfig(salt_mode="rank")
 #: to count as uniformly strong (shared literal with the DuckDB twin).
 STRICT_THRESHOLD = 0.90
 
+#: Literal threshold grid for the edge-level calibration sweep (shared
+#: between the Spark explode and the DuckDB VALUES grid).
+SWEEP_GRID = [0.50, 0.55, 0.60, 0.65, 0.70, 0.75, 0.80, 0.85, 0.90, 0.95]
+
 TURNS_PER_CONV = 8
 #: canonicalize() caps each turn's cleaned text at cfg.turn_text_cap chars;
 #: the DuckDB canonical CTE must apply the IDENTICAL substr or any turn
@@ -1582,6 +1586,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cluster_stability(cc(CFG.threshold), cc(STRICT_THRESHOLD))
     q["cluster_stability"] = q_cluster_stability
 
+    # -- Edge-level threshold calibration sweep: P/R/F1 of the thresholded
+    #    edge set against the corpus's planted true pairs at each grid
+    #    value — the tuning curve behind cfg.threshold. One full-outer
+    #    pair join + explode-by-grid + one aggregate. -------------------
+    def q_threshold_sweep(spark, sf_dir):
+        from translink.evaluate import threshold_sweep
+
+        scored = _spark_scored_pairs(spark, sf_dir).select(
+            "conv_id_a", "conv_id_b", "score"
+        )
+        conv = _spark_canonical(spark, sf_dir).select("conv_id")
+        truth = (
+            conv.filter(F.col("conv_id").endswith("_dup")).select(
+                F.expr("substring(conv_id, 1, length(conv_id) - 4)")
+                .alias("conv_id_a"),
+                F.col("conv_id").alias("conv_id_b"),
+            )
+            .unionByName(
+                conv.filter(F.col("conv_id").endswith("_nd")).select(
+                    F.expr("substring(conv_id, 1, length(conv_id) - 3)")
+                    .alias("conv_id_a"),
+                    F.col("conv_id").alias("conv_id_b"),
+                )
+            )
+        )
+        return threshold_sweep(scored, truth, SWEEP_GRID)
+    q["threshold_sweep"] = q_threshold_sweep
+
     # Driver-coverage ordering: the correctness harness sweeps queries in
     # registration order and round 3 showed it stops near ~50 entries, so
     # the queries that have never received a CORRECTNESS_r{n}.json entry
@@ -1590,7 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # reordering — every (name, callable) pair is unchanged.
     never_checked = [
         "link_fs_waterfall", "link_unlinkables",
-        "cluster_graph_stats", "cluster_stability",
+        "cluster_graph_stats", "cluster_stability", "threshold_sweep",
         "link_fs_tf_scores", "link_review_queue",
         "blocking_eval", "link_fs_decisions", "dedup_eval_bcubed",
         "mm_image_features", "mm_audio_chunks",
@@ -3152,6 +3184,58 @@ SELECT b.cluster_id,
        count(DISTINCT s.cluster_id) > 1 AS splits
 FROM clu_b b JOIN clu_s s USING (conv_id)
 GROUP BY 1 HAVING count(*) >= 2
+"""
+
+    # Threshold-sweep twin: the grid is the SAME literal list (cast to
+    # DOUBLE — DuckDB parses bare decimals as DECIMAL), the counts are
+    # exact integers, and each metric is a single IEEE division of exact
+    # ints (NULL on zero denominators) — bit-identical across engines.
+    # The CROSS JOIN below is DuckDB-only (tiny literal grid); the Spark
+    # side fans out with explode, no cartesian in any engine plan.
+    _grid_sql = " UNION ALL ".join(
+        f"SELECT CAST('{t!r}' AS DOUBLE) AS threshold" for t in SWEEP_GRID
+    )
+    o["threshold_sweep"] = f"""
+WITH {_TRANSCRIPTS_SQL}, {_BLOCKED_SQL}, {_SCORE_SQL},
+s AS (
+  SELECT least(conv_id_a, conv_id_b) AS lo,
+         greatest(conv_id_a, conv_id_b) AS hi,
+         max(score) AS score
+  FROM scored_final GROUP BY 1, 2
+),
+truth AS (
+  SELECT DISTINCT least(substr(conv_id, 1, length(conv_id) - 4), conv_id) AS lo,
+                  greatest(substr(conv_id, 1, length(conv_id) - 4), conv_id) AS hi
+  FROM canonical WHERE ends_with(conv_id, '_dup')
+  UNION
+  SELECT DISTINCT least(substr(conv_id, 1, length(conv_id) - 3), conv_id),
+                  greatest(substr(conv_id, 1, length(conv_id) - 3), conv_id)
+  FROM canonical WHERE ends_with(conv_id, '_nd')
+),
+u AS (
+  SELECT s.score, t.lo IS NOT NULL AS is_true
+  FROM s FULL OUTER JOIN truth t ON s.lo = t.lo AND s.hi = t.hi
+),
+grid AS ({_grid_sql}),
+e AS (SELECT u.score, u.is_true, g.threshold FROM u CROSS JOIN grid g),
+agg AS (
+  SELECT threshold,
+         CAST(sum(CASE WHEN is_true AND score IS NOT NULL
+                        AND score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN NOT is_true AND score IS NOT NULL
+                        AND score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN is_true AND (score IS NULL OR score < threshold)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM e GROUP BY 1
+)
+SELECT threshold, tp, fp, fn,
+       CASE WHEN tp + fp = 0 THEN NULL
+            ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS "precision",
+       CASE WHEN tp + fn = 0 THEN NULL
+            ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+            ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
+FROM agg
 """
 
     # Fellegi–Sunter EM twin: the EM loop is deterministic driver

@@ -192,3 +192,51 @@ def test_cluster_stability_split_report(spark):
     assert set(rows) == {"a", "d"}
     assert (rows["a"]["n_sub"], rows["a"]["splits"]) == (2, True)
     assert (rows["d"]["n_sub"], rows["d"]["splits"]) == (1, False)
+
+
+# -- threshold calibration sweep --------------------------------------------
+
+def test_threshold_sweep_counts_and_metrics(spark):
+    from translink.evaluate import threshold_sweep
+
+    scored = spark.createDataFrame(
+        [("a", "b", 0.9), ("c", "d", 0.6), ("e", "f", 0.8)],
+        "conv_id_a string, conv_id_b string, score double",
+    )
+    truth = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("x", "y")],   # (x,y) never scored
+        "conv_id_a string, conv_id_b string",
+    )
+    rows = {
+        r["threshold"]: r
+        for r in threshold_sweep(scored, truth, [0.5, 0.7, 0.95]).collect()
+    }
+    assert set(rows) == {0.5, 0.7, 0.95}
+    # at 0.5 every scored pair is an edge: tp=2, fp=1, fn=1 (blocking miss)
+    r = rows[0.5]
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 1)
+    assert abs(r["precision"] - 2 / 3) < 1e-12
+    assert abs(r["recall"] - 2 / 3) < 1e-12
+    # at 0.7 only (a,b) survives among true pairs: tp=1, fp=1, fn=2
+    r = rows[0.7]
+    assert (r["tp"], r["fp"], r["fn"]) == (1, 1, 2)
+    assert abs(r["f1"] - 2 / 5) < 1e-12
+    # at 0.95 nothing survives: zero denominators -> NULL, not an error
+    r = rows[0.95]
+    assert (r["tp"], r["fp"], r["fn"]) == (0, 0, 3)
+    assert r["precision"] is None
+    assert abs(r["recall"] - 0.0) < 1e-12
+
+
+def test_threshold_sweep_blocking_miss_is_fn_at_every_threshold(spark):
+    from translink.evaluate import threshold_sweep
+
+    scored = spark.createDataFrame(
+        [], "conv_id_a string, conv_id_b string, score double"
+    )
+    truth = spark.createDataFrame(
+        [("p", "q")], "conv_id_a string, conv_id_b string"
+    )
+    for r in threshold_sweep(scored, truth, [0.5, 0.9]).collect():
+        assert (r["tp"], r["fp"], r["fn"]) == (0, 0, 1)
+        assert r["precision"] is None and r["f1"] == 0.0

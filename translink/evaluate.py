@@ -315,3 +315,70 @@ def cluster_stability(
             (F.col("n_sub") > 1).alias("splits"),
         )
     )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    truth_pairs: DataFrame,
+    thresholds: list[float],
+) -> DataFrame:
+    """Edge-level precision/recall/F1 at each candidate threshold.
+
+    The calibration sweep behind choosing ``cfg.threshold``: against a
+    labeled true-pair set, every grid value reports how the thresholded
+    edge set would perform BEFORE clustering (edge-level, not pairwise-
+    cluster-level — transitive closure can only merge, so edge precision
+    upper-bounds cluster pairwise precision while edge recall lower-bounds
+    it). True pairs the scorer never saw (blocking misses) count as false
+    negatives at every threshold — the sweep inherits the blocking
+    ceiling, which is what makes it an honest tuning curve.
+
+    Scale shape: pairs normalized to ``(lo, hi)`` keys, ONE full-outer
+    sort-merge join against the truth set (same discipline as
+    ``blocking_quality_frame``), then the sparse union fans out by the
+    literal grid (``|pairs| × |grid|`` tiny rows, grid ≤ ~20) into one
+    aggregate. No per-threshold pass over the corpus, no collect. P/R/F1
+    are single IEEE divisions of exact integer counts, so every column is
+    ANSI-reproducible bit-for-bit; zero denominators yield NULL (never an
+    ANSI-mode divide error).
+    """
+    s = (
+        scored.select(
+            F.least("conv_id_a", "conv_id_b").alias("lo"),
+            F.greatest("conv_id_a", "conv_id_b").alias("hi"),
+            "score",
+        )
+        .groupBy("lo", "hi")
+        .agg(F.max("score").alias("score"))
+    )
+    t = (
+        truth_pairs.select(
+            F.least("conv_id_a", "conv_id_b").alias("lo"),
+            F.greatest("conv_id_a", "conv_id_b").alias("hi"),
+        )
+        .distinct()
+        .withColumn("is_true", F.lit(True))
+    )
+    u = s.join(t, ["lo", "hi"], "full_outer").select(
+        "score", F.coalesce("is_true", F.lit(False)).alias("is_true")
+    )
+    grid = F.array(*[F.lit(float(x)) for x in thresholds])
+    e = u.select(
+        "score", "is_true", F.explode(grid).alias("threshold")
+    )
+    hit = F.col("score").isNotNull() & (F.col("score") >= F.col("threshold"))
+    agg = e.groupBy("threshold").agg(
+        F.sum(F.when(F.col("is_true") & hit, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("is_true") & hit, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("is_true") & ~hit, 1).otherwise(0)).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    div = lambda num, den: F.when(  # noqa: E731 — NULL on 0, never ANSI error
+        den == 0, F.lit(None).cast("double")
+    ).otherwise(num.cast("double") / den)
+    return agg.select(
+        "threshold", "tp", "fp", "fn",
+        div(tp, tp + fp).alias("precision"),
+        div(tp, tp + fn).alias("recall"),
+        div(tp * 2, tp * 2 + fp + fn).alias("f1"),
+    )
