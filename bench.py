@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "event_exact_dedup",
     "link_matches",
     "link_fs_scores",
+    "threshold_sweep",
+    "cluster_graph_stats",
     "turn_boilerplate",
     "doc_repetition_fast",
     "doc_passage_stats_fast",
