@@ -1614,6 +1614,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return threshold_sweep(scored, truth, SWEEP_GRID)
     q["threshold_sweep"] = q_threshold_sweep
 
+    # -- Fitted FS model card: the EM-converged m/u tables, per-level
+    #    match weights, and the prior — the auditable parameter surface
+    #    behind every posterior. One distributed pattern aggregation
+    #    (fs_em_fit's single pass), then ≤11 driver-literal rows; the
+    #    DuckDB twin fits the SAME EM from its own aggregation of the
+    #    same gammas, so a MATCH certifies the distributed count pass. --
+    def q_link_fs_params(spark, sf_dir):
+        from translink.fellegi_sunter import (
+            FIELDS, comparison_vectors, fs_em_fit,
+        )
+
+        g = comparison_vectors(_link_scored_with_payload(spark, sf_dir), CFG)
+        params = fs_em_fit(g)
+        w = params.weights()
+        rows = [
+            (k, lvl, params.m[k][lvl], params.u[k][lvl], w[k][lvl])
+            for k in FIELDS for lvl in range(FIELDS[k])
+        ]
+        rows.append(("lambda", 0, params.lam, None, None))
+        return spark.createDataFrame(
+            rows, "field string, level int, m double, u double, weight double"
+        )
+    q["link_fs_params"] = q_link_fs_params
+
     # Driver-coverage ordering: the correctness harness sweeps queries in
     # registration order and round 3 showed it stops near ~50 entries, so
     # the queries that have never received a CORRECTNESS_r{n}.json entry
@@ -1623,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_checked = [
         "link_fs_waterfall", "link_unlinkables",
         "cluster_graph_stats", "cluster_stability", "threshold_sweep",
+        "link_fs_params",
         "link_fs_tf_scores", "link_review_queue",
         "blocking_eval", "link_fs_decisions", "dedup_eval_bcubed",
         "mm_image_features", "mm_audio_chunks",
@@ -3300,5 +3325,23 @@ SELECT conv_id_a, conv_id_b, match_weight, match_prob FROM best_a
 QUALIFY row_number() OVER (PARTITION BY conv_id_b
                            ORDER BY match_weight DESC, conv_id_a) = 1
 """
+
+        # Model-card twin: the twin's own EM fit (from DuckDB-aggregated
+        # gammas, identical sorted-counts arithmetic) emitted as literal
+        # rows — a MATCH certifies the Spark pattern aggregation fed the
+        # same counts into the same fit.
+        _em_w = _fs_em.weights()
+        _param_rows = " UNION ALL ".join(
+            f"SELECT '{k}' AS field, CAST({lvl} AS INTEGER) AS level, "
+            f"CAST('{_fs_em.m[k][lvl]!r}' AS DOUBLE) AS m, "
+            f"CAST('{_fs_em.u[k][lvl]!r}' AS DOUBLE) AS u, "
+            f"CAST('{_em_w[k][lvl]!r}' AS DOUBLE) AS weight"
+            for k in _FS_FIELDS for lvl in range(_FS_FIELDS[k])
+        ) + (
+            f" UNION ALL SELECT 'lambda', CAST(0 AS INTEGER), "
+            f"CAST('{_fs_em.lam!r}' AS DOUBLE), "
+            f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+        )
+        o["link_fs_params"] = f"SELECT * FROM ({_param_rows})"
 
     return o
