@@ -128,3 +128,53 @@ def test_interactive_mode_cli(spark, input_parquet, tmp_path, capsys, monkeypatc
     kept = spark.read.parquet(out)
     assert kept.count() == stats["n_records"] - stats["dropped"]
     assert stats["dropped"] > 0
+
+
+def test_link_mode_blend_json(spark, tiny, tmp_path, capsys):
+    """--link-b switches the CLI to two-corpus linkage: planted _dup/_nd
+    conversations as side B must match their base conversations."""
+    from pyspark.sql import functions as F
+
+    t = tiny["transcripts"]
+    is_b = F.col("conv_id").rlike("_n?dup[0-9]+$")
+    a_path = str(tmp_path / "side_a")
+    b_path = str(tmp_path / "side_b")
+    t.filter(~is_b).write.parquet(a_path)
+    t.filter(is_b).write.parquet(b_path)
+    out = str(tmp_path / "link_report")
+    rc = main([
+        "--input", a_path, "--link-b", b_path,
+        "--output", out, "--format", "json",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["model"] == "blend" and stats["n_matches"] > 0
+    written = spark.read.json(out)
+    assert written.count() == stats["n_matches"]
+    # every match links a planted twin to its own base conversation
+    bad = written.filter(
+        ~F.col("conv_id_b").startswith(F.col("conv_id_a"))
+    ).count()
+    assert bad == 0
+
+
+def test_link_mode_fs_text(tiny, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    t = tiny["transcripts"]
+    is_b = F.col("conv_id").rlike("_n?dup[0-9]+$")
+    a_path = str(tmp_path / "fs_a")
+    b_path = str(tmp_path / "fs_b")
+    t.filter(~is_b).write.parquet(a_path)
+    t.filter(is_b).write.parquet(b_path)
+    out = str(tmp_path / "fs_report.txt")
+    rc = main([
+        "--input", a_path, "--link-b", b_path, "--link-model", "fs",
+        "--output", out, "--format", "text",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["model"] == "fs" and stats["n_matches"] > 0
+    text = open(out).read()
+    assert "translink linkage report" in text
+    assert "match_weight=" in text

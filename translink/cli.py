@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="spark master override (omit under spark-submit)")
     p.add_argument("--labels", default=None,
                    help="labeled-pairs parquet for F1 evaluation")
+    p.add_argument("--link-b", default=None, metavar="PATH",
+                   help="second transcripts parquet: run two-corpus record "
+                        "linkage (--input is side A) instead of the dedup "
+                        "pipeline; writes the match report to --output")
+    p.add_argument("--link-model", choices=["blend", "fs"], default="blend",
+                   help="linkage scorer: the engine's similarity blend "
+                        "(linkage.link_tables) or the Fellegi-Sunter "
+                        "EM-fit posterior (fellegi_sunter.fs_link_tables)")
     p.add_argument("--progress", nargs="?", const=True, default=False,
                    type=float, metavar="SECONDS",
                    help="live per-stage progress lines on stderr (reference "
@@ -87,6 +95,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(master=args.master,
                       shuffle_partitions=cfg.shuffle_partitions)
     transcripts = spark.read.parquet(args.input)
+    if args.link_b:
+        return _run_linkage(spark, transcripts, args, cfg)
     # Resume keys on input CONTENT (file listing + sizes + mtimes), not the
     # path string: overwriting the input at the same path must invalidate
     # checkpointed stages instead of silently returning stale clusters.
@@ -139,6 +149,43 @@ def main(argv: list[str] | None = None) -> int:
         cluster_report(members).orderBy("n_members", ascending=False).show(
             20, truncate=False
         )
+    print(json.dumps(stats, default=str))
+    return 0
+
+
+def _run_linkage(spark, a_turns, args, cfg) -> int:
+    """Two-corpus linkage entry (--link-b): match side A (--input) against
+    side B, write/show the match report, print a one-line stats JSON —
+    the CLI face of linkage.link_tables / fellegi_sunter.fs_link_tables."""
+    from pyspark.sql import functions as F
+
+    from translink.report import write_link_report
+
+    b_turns = spark.read.parquet(args.link_b)
+    if args.link_model == "fs":
+        from translink.fellegi_sunter import fs_link_tables
+
+        matches = fs_link_tables(a_turns, b_turns, cfg)
+        sort_col = "match_weight"
+    else:
+        from translink.linkage import link_tables
+
+        matches = link_tables(a_turns, b_turns, cfg,
+                              threshold=args.threshold)
+        sort_col = "score"
+    # the frame feeds a count AND a write/show — checkpoint so the
+    # linkage lineage (blocking + A-x-B join + scoring) runs once
+    matches = matches.localCheckpoint(eager=True)
+    stats = {
+        "model": args.link_model,
+        "n_matches": matches.count(),
+    }
+    if args.output:
+        write_link_report(matches, args.output, fmt=args.format,
+                          sort_col=sort_col)
+        stats["output"] = args.output
+    else:
+        matches.orderBy(F.col(sort_col).desc()).show(20, truncate=False)
     print(json.dumps(stats, default=str))
     return 0
 

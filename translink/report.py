@@ -279,3 +279,53 @@ def format_text_report(members: DataFrame, max_groups: int = 50) -> str:
 
 def format_stats_json(stats: dict) -> str:
     return json.dumps(stats, sort_keys=True, default=str)
+
+
+def format_link_text_report(
+    matches: DataFrame, sort_col: str, max_rows: int = 50
+) -> str:
+    """Aligned text listing of cross-corpus matches (the linkage analog of
+    ``format_text_report``; S9 discipline — a console report is a driver
+    artifact, capped at ``max_rows`` best matches so the collect stays
+    bounded at any corpus size)."""
+    n_matches = matches.count()
+    cols = [c for c in matches.columns
+            if c not in ("conv_id_a", "conv_id_b")]
+    rows = (
+        matches.orderBy(F.col(sort_col).desc(), F.col("conv_id_a").asc())
+        .limit(max_rows)
+        .collect()
+    )
+    lines = [
+        "translink linkage report",
+        "=" * 62,
+        f"{'matched pairs':>18}: {n_matches}",
+        "",
+        f"best matches (by {sort_col}, top {max_rows})",
+        "-" * 62,
+    ]
+    for r in rows:
+        vals = "  ".join(
+            f"{c}={r[c]:.6f}" if isinstance(r[c], float) else f"{c}={r[c]}"
+            for c in cols
+        )
+        lines.append(f"  {r['conv_id_a']:<28} <-> {r['conv_id_b']:<28} {vals}")
+    lines.append("-" * 62)
+    return "\n".join(lines) + "\n"
+
+
+def write_link_report(
+    matches: DataFrame, path: str, fmt: str = "json", sort_col: str = "score"
+) -> None:
+    """Write the match-level linkage report: ``json``/``csv`` distributed
+    writers (S10/S11), ``text`` the driver-side capped listing (S9)."""
+    if fmt == "json":
+        matches.write.mode("overwrite").json(path)
+    elif fmt == "csv":
+        matches.write.mode("overwrite").option("header", True).csv(path)
+    elif fmt == "text":
+        text = format_link_text_report(matches, sort_col)
+        with open(path, "w") as fh:
+            fh.write(text)
+    else:
+        raise ValueError(f"unknown report format: {fmt}")
