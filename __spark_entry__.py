@@ -1586,6 +1586,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cluster_stability(cc(CFG.threshold), cc(STRICT_THRESHOLD))
     q["cluster_stability"] = q_cluster_stability
 
+    # -- Glue edges: the specific near-threshold edges whose removal at
+    #    the strict threshold splits a base cluster — the named culprits
+    #    behind every cluster_stability n_sub > 1. -----------------------
+    def q_cluster_glue_edges(spark, sf_dir):
+        from translink.clustering import clusters_by_contraction
+        from translink.evaluate import cluster_glue_edges
+
+        scored = _spark_scored_pairs(spark, sf_dir).select(
+            "conv_id_a", "conv_id_b", "score"
+        ).localCheckpoint(eager=True)
+        signed = with_exact_digest(
+            _spark_canonical(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+
+        def cc(thr):
+            e = scored.filter(F.col("score") >= thr).select(
+                F.col("conv_id_a").alias("src"),
+                F.col("conv_id_b").alias("dst"),
+            )
+            return clusters_by_contraction(signed, e, CFG)
+
+        sim = scored.filter(F.col("score") >= CFG.threshold).select(
+            F.col("conv_id_a").alias("src"),
+            F.col("conv_id_b").alias("dst"),
+            "score",
+        )
+        return cluster_glue_edges(cc(CFG.threshold), cc(STRICT_THRESHOLD), sim)
+    q["cluster_glue_edges"] = q_cluster_glue_edges
+
     # -- Edge-level threshold calibration sweep: P/R/F1 of the thresholded
     #    edge set against the corpus's planted true pairs at each grid
     #    value — the tuning curve behind cfg.threshold. One full-outer
@@ -1647,7 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_checked = [
         "link_fs_waterfall", "link_unlinkables",
         "cluster_graph_stats", "cluster_stability", "threshold_sweep",
-        "link_fs_params",
+        "link_fs_params", "cluster_glue_edges",
         "link_fs_tf_scores", "link_review_queue",
         "blocking_eval", "link_fs_decisions", "dedup_eval_bcubed",
         "mm_image_features", "mm_audio_chunks",
@@ -3209,6 +3238,57 @@ SELECT b.cluster_id,
        count(DISTINCT s.cluster_id) > 1 AS splits
 FROM clu_b b JOIN clu_s s USING (conv_id)
 GROUP BY 1 HAVING count(*) >= 2
+"""
+
+    # Glue-edges twin: the same two closures as cluster_stability, then
+    # edges whose endpoints land in different strict sub-clusters.
+    o["cluster_glue_edges"] = f"""
+WITH RECURSIVE {_TRANSCRIPTS_SQL}, {_BLOCKED_SQL}, {_SCORE_SQL},
+sim_edges AS (
+  SELECT conv_id_a AS src, conv_id_b AS dst, score
+  FROM scored_final WHERE score >= {CFG.threshold}
+),
+exact_star AS (
+  SELECT r.src, r.dst FROM (
+    SELECT min(conv_id) OVER (PARTITION BY canon_text) AS src, conv_id AS dst
+    FROM canonical
+  ) r WHERE r.src <> r.dst
+),
+base_edges AS (
+  SELECT src, dst FROM sim_edges
+  UNION
+  SELECT src, dst FROM exact_star
+),
+strict_edges AS (
+  SELECT conv_id_a AS src, conv_id_b AS dst
+  FROM scored_final WHERE score >= {STRICT_THRESHOLD}
+  UNION
+  SELECT src, dst FROM exact_star
+),
+sym_b AS (
+  SELECT src, dst FROM base_edges UNION SELECT dst, src FROM base_edges
+),
+sym_s AS (
+  SELECT src, dst FROM strict_edges UNION SELECT dst, src FROM strict_edges
+),
+reach_b(a, b) AS (
+  SELECT conv_id, conv_id FROM canonical
+  UNION
+  SELECT r.a, e.dst FROM reach_b r JOIN sym_b e ON r.b = e.src
+),
+reach_s(a, b) AS (
+  SELECT conv_id, conv_id FROM canonical
+  UNION
+  SELECT r.a, e.dst FROM reach_s r JOIN sym_s e ON r.b = e.src
+),
+clu_b AS (SELECT a AS conv_id, min(b) AS cluster_id FROM reach_b GROUP BY a),
+clu_s AS (SELECT a AS conv_id, min(b) AS cluster_id FROM reach_s GROUP BY a)
+SELECT b.cluster_id, e.src, e.dst, e.score
+FROM sim_edges e
+JOIN clu_s ss ON e.src = ss.conv_id
+JOIN clu_s sd ON e.dst = sd.conv_id
+JOIN clu_b b ON e.src = b.conv_id
+WHERE ss.cluster_id <> sd.cluster_id
 """
 
     # Threshold-sweep twin: the grid is the SAME literal list (cast to

@@ -240,3 +240,28 @@ def test_threshold_sweep_blocking_miss_is_fn_at_every_threshold(spark):
     for r in threshold_sweep(scored, truth, [0.5, 0.9]).collect():
         assert (r["tp"], r["fp"], r["fn"]) == (0, 0, 1)
         assert r["precision"] is None and r["f1"] == 0.0
+
+
+def test_cluster_glue_edges_names_the_splitting_evidence(spark):
+    from translink.evaluate import cluster_glue_edges
+
+    base = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d")],
+        "conv_id string, cluster_id string",
+    )
+    strict = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "d"), ("e", "d")],
+        "conv_id string, cluster_id string",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", 0.95), ("b", "c", 0.72), ("d", "e", 0.93)],
+        "src string, dst string, score double",
+    )
+    rows = cluster_glue_edges(base, strict, edges).collect()
+    # exactly the weak (b, c) edge is the glue: its endpoints split at
+    # the strict threshold, the strong edges stay intra-sub-cluster
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["cluster_id"], r["src"], r["dst"], r["score"]) == (
+        "a", "b", "c", 0.72,
+    )

@@ -382,3 +382,43 @@ def threshold_sweep(
         div(tp, tp + fn).alias("recall"),
         div(tp * 2, tp * 2 + fp + fn).alias("f1"),
     )
+
+
+def cluster_glue_edges(
+    base_clusters: DataFrame,
+    strict_clusters: DataFrame,
+    sim_edges: DataFrame,
+) -> DataFrame:
+    """The specific edges that glue strict sub-clusters together — the
+    over-merge culprits ``cluster_stability`` counts.
+
+    An edge whose endpoints fall in DIFFERENT strict sub-clusters is the
+    evidence that merged them at the base threshold: remove it (raise the
+    threshold past its score) and the base cluster splits along exactly
+    this seam. The report gives a reviewer the actual suspect pair —
+    cluster id, both endpoints, the edge score — ranked naturally by
+    score ascending (the weakest glue first). Complements
+    ``cluster_stability`` (how many pieces) and ``cluster_graph_stats``
+    (how dense) by naming WHICH evidence to re-examine.
+
+    Inputs: two full assignments (``conv_id, cluster_id``) over the same
+    ids and the similarity edge list ``(src, dst, score)``. Two key joins
+    against the strict labels + one against the base labels — all sized
+    by the sparse edge set, nothing quadratic, no window.
+    """
+    s_src = strict_clusters.select(
+        F.col("conv_id").alias("src"), F.col("cluster_id").alias("_s_src")
+    )
+    s_dst = strict_clusters.select(
+        F.col("conv_id").alias("dst"), F.col("cluster_id").alias("_s_dst")
+    )
+    base = base_clusters.select(
+        F.col("conv_id").alias("src"), "cluster_id"
+    )
+    return (
+        sim_edges.join(s_src, "src")
+        .join(s_dst, "dst")
+        .filter(F.col("_s_src") != F.col("_s_dst"))
+        .join(base, "src")
+        .select("cluster_id", "src", "dst", "score")
+    )
