@@ -1544,22 +1544,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #    counts per evidence lane, minimum similarity edge score, and
     #    similarity-graph density for every multi-member cluster. -------
     def q_cluster_graph_stats(spark, sf_dir):
-        from translink.clustering import exact_edges
+        from translink.clustering import clusters_by_contraction, exact_edges
         from translink.evaluate import cluster_graph_stats
 
         # scored pairs feed both the cluster edges and the per-cluster edge
-        # stats — checkpoint once (same discipline as q_cluster_similarity)
+        # stats, and the signed frame feeds both the contraction and the
+        # star edges — checkpoint each once (q_cluster_similarity
+        # discipline) so the canonicalize/score lineage runs a single time
         scored = _spark_scored_pairs(spark, sf_dir).select(
             "conv_id_a", "conv_id_b", "score"
         ).localCheckpoint(eager=True)
-        cl = _clusters_from_scored(spark, sf_dir, scored)
+        signed = with_exact_digest(
+            _spark_canonical(spark, sf_dir)
+        ).localCheckpoint(eager=True)
         sim = scored.filter(F.col("score") >= CFG.threshold).select(
             F.col("conv_id_a").alias("src"),
             F.col("conv_id_b").alias("dst"),
             "score",
         )
-        star = exact_edges(with_exact_digest(_spark_canonical(spark, sf_dir)))
-        return cluster_graph_stats(cl, sim, star)
+        cl = clusters_by_contraction(signed, sim.select("src", "dst"), CFG)
+        return cluster_graph_stats(cl, sim, exact_edges(signed))
     q["cluster_graph_stats"] = q_cluster_graph_stats
 
     # -- Cluster threshold-stability (split report): the same evidence
