@@ -1540,6 +1540,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["link_unlinkables"] = q_link_unlinkables
 
+    # -- Per-record candidate shortlist (the reviewer's view BEFORE the
+    #    one-to-one resolution): each A record's top-3 B candidates by
+    #    blend score — one per-record rank window, never global. --------
+    def q_link_topk_candidates(spark, sf_dir):
+        scored = _link_scored_with_payload(spark, sf_dir)
+        w = Window.partitionBy("conv_id_a").orderBy(
+            F.col("score").desc(), F.col("conv_id_b").asc()
+        )
+        return (
+            scored.withColumn("cand_rank", F.row_number().over(w))
+            .filter(F.col("cand_rank") <= 3)
+            .select("conv_id_a", "conv_id_b", "score",
+                    F.col("cand_rank").cast("int").alias("cand_rank"))
+        )
+    q["link_topk_candidates"] = q_link_topk_candidates
+
     # -- Per-cluster evidence-graph diagnostics (over-merge audit): edge
     #    counts per evidence lane, minimum similarity edge score, and
     #    similarity-graph density for every multi-member cluster. -------
@@ -1680,7 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_checked = [
         "link_fs_waterfall", "link_unlinkables",
         "cluster_graph_stats", "cluster_stability", "threshold_sweep",
-        "link_fs_params", "cluster_glue_edges",
+        "link_fs_params", "cluster_glue_edges", "link_topk_candidates",
         "link_fs_tf_scores", "link_review_queue",
         "blocking_eval", "link_fs_decisions", "dedup_eval_bcubed",
         "mm_image_features", "mm_audio_chunks",
@@ -3138,6 +3154,20 @@ SELECT c.conv_id AS conv_id_a,
 FROM canonical c LEFT JOIN best b ON c.conv_id = b.conv_id_a
 WHERE NOT (ends_with(c.conv_id, '_dup') OR ends_with(c.conv_id, '_nd'))
   AND (b.best_score IS NULL OR b.best_score < {CFG.threshold})
+"""
+
+    # Shortlist twin: the same per-record rank over identically-computed
+    # scores (total order via the conv_id_b tiebreak).
+    o["link_topk_candidates"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+{_LINK_SQL},
+{_SCORE_SQL}
+SELECT conv_id_a, conv_id_b, score,
+       CAST(row_number() OVER (PARTITION BY conv_id_a
+                               ORDER BY score DESC, conv_id_b)
+            AS INT) AS cand_rank
+FROM scored_final
+QUALIFY cand_rank <= 3
 """
 
     # Cluster evidence-graph twin: same closure as o["clusters"], then

@@ -138,3 +138,30 @@ def test_iceberg_table_name_sanitizes_path_namespace(spark, tmp_path):
     assert ns == ns.replace("-", "_") and " " not in ns
     import re as _re
     assert _re.fullmatch(r"[A-Za-z0-9_]+", ns)
+
+
+def test_lineage_frame_exposes_per_partition_rows(spark, tiny, tmp_path):
+    """The manifest as data: one row per (stage, partition), stage totals
+    equal the sum of partition rows, fingerprints/snapshots present."""
+    from pyspark.sql import functions as F
+
+    from translink.catalog import Catalog, lineage_frame
+    from translink.config import LinkConfig
+    from translink.pipeline import run_pipeline
+
+    workdir = str(tmp_path / "wd_lineage")
+    run_pipeline(spark, tiny["transcripts"], LinkConfig(), workdir=workdir)
+    lf = lineage_frame(spark, Catalog(spark, workdir))
+    assert lf.count() > 0
+    # per-stage: partition rows sum to the recorded stage total
+    agg = (
+        lf.groupBy("stage", "stage_rows")
+        .agg(F.sum("partition_rows").alias("part_sum"))
+        .collect()
+    )
+    assert len(agg) > 1                      # several checkpointed stages
+    for r in agg:
+        assert r["part_sum"] == r["stage_rows"]
+    assert lf.filter(
+        F.col("fingerprint").isNull() | F.col("snapshot_id").isNull()
+    ).count() == 0

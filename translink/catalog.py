@@ -237,3 +237,39 @@ class Catalog:
         """The full manifest — stage -> {fingerprint, snapshot, rows,
         per-partition rows, timings}."""
         return self._read_manifest()
+
+
+def lineage_frame(spark: SparkSession, catalog: "Catalog") -> DataFrame:
+    """The catalog's lineage manifest as a queryable DataFrame — one row
+    per (stage, partition): stage name, config fingerprint, snapshot id,
+    stage row count, write wall time, write timestamp, partition id/file/
+    row count. The SQL face of the per-partition lineage + metrics the
+    north rule requires each checkpoint to carry: operators can join it,
+    dashboards can read it, and a resume decision is auditable as data
+    (``SELECT stage, fingerprint, rows FROM lineage``). Driver-side
+    construction from the manifest sidecar (or Iceberg snapshot metadata)
+    — bounded by stages × files, never by corpus rows.
+    """
+    rows = []
+    for stage, meta in sorted(catalog.lineage().items()):
+        parts = meta.get("partitions") or [
+            {"partition_id": None, "file": None, "rows": None}
+        ]
+        for p in parts:
+            rows.append((
+                stage,
+                meta.get("fingerprint"),
+                meta.get("snapshot_id"),
+                int(meta["rows"]) if meta.get("rows") is not None else None,
+                float(meta["wall_s"]) if meta.get("wall_s") is not None else None,
+                meta.get("written_at"),
+                p.get("partition_id"),
+                p.get("file"),
+                int(p["rows"]) if p.get("rows") is not None else None,
+            ))
+    return spark.createDataFrame(
+        rows,
+        "stage string, fingerprint string, snapshot_id string, "
+        "stage_rows bigint, wall_s double, written_at string, "
+        "partition_id int, file string, partition_rows bigint",
+    )
