@@ -121,3 +121,28 @@ def test_streaming_link_single_drop_equals_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert ("a1", "b1") in streamed
+
+
+def test_streaming_link_fs_model(spark, tmp_path):
+    """FS scoring lane: score in the match store is the match WEIGHT, the
+    exact-copy pair clears the 0.95-posterior weight threshold, and the
+    unrelated record never matches."""
+    landing = str(tmp_path / "landing_fs")
+    store = str(tmp_path / "store_fs")
+    os.makedirs(landing)
+
+    prepare_reference(spark, _turns(spark, A_TEXTS), store, CFG)
+    _turns(
+        spark, {"b1": A_TEXTS["a1"], "b9": "wholly unrelated text here"}
+    ).coalesce(1).write.parquet(os.path.join(landing, "d0"))
+    q = incremental_link(
+        spark, os.path.join(landing, "*"), store,
+        str(tmp_path / "ckpt_fs"), CFG, available_now=True, model="fs",
+    )
+    q.awaitTermination(300)
+    rows = {r["conv_id_b"]: r for r in read_match_store(spark, store).collect()}
+    assert set(rows) == {"b1"}
+    assert rows["b1"]["conv_id_a"] == "a1"
+    from translink.fellegi_sunter import fs_weight_threshold
+
+    assert rows["b1"]["score"] >= fs_weight_threshold(0.95)

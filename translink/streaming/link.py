@@ -54,8 +54,9 @@ MATCHES = "link_matches"
 
 def _prep(turns: DataFrame, cfg: LinkConfig) -> DataFrame:
     c = with_block_key(canonicalize(turns, cfg), cfg)
+    # total_chars rides along for the FS comparison vectors (g_len)
     return c.select(
-        "conv_id", "block_key", "canon_text",
+        "conv_id", "block_key", "canon_text", "total_chars",
         shingles_expr("canon_text", cfg.shingle_size).alias("shingles"),
     )
 
@@ -84,6 +85,9 @@ def incremental_link(
     cfg: LinkConfig | None = None,
     threshold: float | None = None,
     available_now: bool = True,
+    model: str = "blend",
+    fs_params=None,
+    min_match_prob: float = 0.95,
 ):
     """Link a stream of B-side transcript drops against the prepared A.
 
@@ -93,7 +97,18 @@ def incremental_link(
     ``translink.streaming.assemble`` or the turn-store repair in
     ``translink.streaming.incremental``). Returns the StreamingQuery;
     with ``available_now`` it drains pending files then stops.
+
+    ``model`` picks the scorer: ``"blend"`` ranks and thresholds on the
+    similarity blend; ``"fs"`` on the Fellegi–Sunter match weight
+    (``score`` in the match store then IS the weight), thresholded at
+    the weight whose posterior equals ``min_match_prob``. FS parameters
+    must be FIXED for a stream (``fs_params``, default ``FSParams()``,
+    or pre-fit offline with ``fs_em_fit`` on a historical sample) — a
+    per-batch EM re-fit would let the decision boundary drift between
+    batches, making match decisions depend on arrival grouping.
     """
+    if model not in ("blend", "fs"):
+        raise ValueError(f"unknown link model: {model}")
     cfg = cfg or LinkConfig()
     a_path = os.path.join(store_dir, A_PREP)
     matches_path = os.path.join(store_dir, MATCHES)
@@ -117,10 +132,24 @@ def incremental_link(
                 "conv_id", "left_anti",
             )
         pairs = link_candidate_pairs(
-            a_prep, b_prep, cfg, payload_cols=["canon_text", "shingles"]
+            a_prep, b_prep, cfg,
+            payload_cols=["canon_text", "shingles", "total_chars"],
         )
         scored = score_pairs(pairs, cfg, include_jaro_winkler=False)
-        out = mutual_best_matches(scored, cfg, threshold=threshold).select(
+        if model == "fs":
+            from translink.fellegi_sunter import (
+                FSParams, comparison_vectors, fs_weight_expr,
+                fs_weight_threshold,
+            )
+
+            params = fs_params or FSParams()
+            scored = comparison_vectors(scored, cfg).withColumn(
+                "score", fs_weight_expr(params)
+            )
+            thr = fs_weight_threshold(min_match_prob, params)
+        else:
+            thr = threshold
+        out = mutual_best_matches(scored, cfg, threshold=thr).select(
             "conv_id_a", "conv_id_b", "score",
             F.lit(int(batch_id)).cast("long").alias("batch_id"),
         )
