@@ -204,3 +204,67 @@ def test_unlinkable_records_separates_blocking_and_scoring_misses(spark):
     # a3 never collided in blocking: the blocking-miss signature
     assert rows["a3"]["n_candidates"] == 0
     assert rows["a3"]["best_score"] is None
+
+
+# -- resumable linkage pipeline ---------------------------------------------
+
+def test_run_link_pipeline_resumes_from_checkpoint(spark, tmp_path):
+    from translink.linkage import run_link_pipeline
+
+    def turns(convs):
+        rows = []
+        for cid, text in convs.items():
+            for i in range(3):
+                rows.append((cid, i, "user", f"{text} turn {i}", None,
+                             datetime(2026, 2, 1, 0, i)))
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    a = turns({"a1": "alpha conversation text body", "a2": "beta topic body"})
+    b = turns({"b1": "alpha conversation text body", "b9": "unrelated talk"})
+    wd = str(tmp_path / "link_wd")
+    cfg = LinkConfig()
+
+    first = run_link_pipeline(spark, a, b, cfg, workdir=wd,
+                              input_fingerprint="v1")
+    m1 = {(r["conv_id_a"], r["conv_id_b"]) for r in first["matches"].collect()}
+    assert ("a1", "b1") in m1
+    assert all(t > 0 for t in first["timings"].values())
+
+    # rerun with the same fingerprint: every stage resumes (timing 0.0),
+    # matches identical
+    second = run_link_pipeline(spark, a, b, cfg, workdir=wd,
+                               input_fingerprint="v1")
+    assert all(t == 0.0 for t in second["timings"].values())
+    m2 = {(r["conv_id_a"], r["conv_id_b"]) for r in second["matches"].collect()}
+    assert m2 == m1
+
+    # changed input fingerprint invalidates the resume
+    third = run_link_pipeline(spark, a, b, cfg, workdir=wd,
+                              input_fingerprint="v2")
+    assert any(t > 0 for t in third["timings"].values())
+
+
+def test_run_link_pipeline_fs_model(spark, tmp_path):
+    from translink.linkage import run_link_pipeline
+
+    def turns(convs):
+        rows = []
+        for cid, text in convs.items():
+            for i in range(3):
+                rows.append((cid, i, "user", f"{text} turn {i}", None,
+                             datetime(2026, 2, 1, 0, i)))
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    a = turns({"a1": "gamma body of conversation", "a2": "delta body text"})
+    b = turns({"b1": "gamma body of conversation"})
+    res = run_link_pipeline(spark, a, b, LinkConfig(), model="fs")
+    rows = res["matches"].collect()
+    assert {(r["conv_id_a"], r["conv_id_b"]) for r in rows} == {("a1", "b1")}

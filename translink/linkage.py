@@ -251,3 +251,96 @@ def unlinkable_records(
             "best_score",
         )
     )
+
+
+def prep_corpus(turns: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
+    """Canonicalize + block-key + shingles for one linkage side (the
+    shared prep of ``link_tables``, ``fs_link_tables``,
+    ``streaming.link``, and ``run_link_pipeline``); ``total_chars`` rides
+    along for the FS comparison vectors."""
+    from translink.canonicalize import canonicalize
+    from translink.signatures import shingles_expr
+
+    cfg = cfg or LinkConfig()
+    c = with_block_key(canonicalize(turns, cfg), cfg)
+    return c.select(
+        "conv_id", "block_key", "canon_text", "total_chars",
+        shingles_expr("canon_text", cfg.shingle_size).alias("shingles"),
+    )
+
+
+def run_link_pipeline(
+    spark,
+    a_turns: DataFrame,
+    b_turns: DataFrame,
+    cfg: LinkConfig | None = None,
+    workdir: str | None = None,
+    input_fingerprint: str = "",
+    model: str = "blend",
+    threshold: float | None = None,
+    min_match_prob: float = 0.95,
+    progress: bool | float = False,
+) -> dict:
+    """Resumable two-corpus linkage — the linkage family under the same
+    checkpoint/lineage discipline as ``pipeline.run_pipeline``.
+
+    With ``workdir`` set, each stage (both side preps, the scored A×B
+    pair set, the resolved matches) persists via the Catalog with the
+    (config, model, input) fingerprint and per-partition lineage; a rerun
+    resumes any stage whose fingerprint matches, so a failed or
+    interrupted linkage job picks up after its last completed stage —
+    including the expensive scored-pair stage. ``model="fs"`` scores with
+    the Fellegi–Sunter EM posterior (ranking on the match weight; the EM
+    itself is deterministic driver arithmetic over the checkpointed
+    scored stage, so resume cannot change the fit); ``"blend"`` uses the
+    similarity blend and ``threshold``.
+
+    Returns ``{a_prep, b_prep, scored, matches, timings}``.
+    """
+    from translink.catalog import Catalog
+    from translink.pipeline import stage_runner
+    from translink.progress import make_reporter
+
+    if model not in ("blend", "fs"):
+        raise ValueError(f"unknown link model: {model}")
+    cfg = cfg or LinkConfig()
+    cat = Catalog(spark, workdir) if workdir else None
+    fp = f"{cfg.fingerprint()}:{model}:{input_fingerprint}"
+    timings: dict[str, float] = {}
+    reporter = make_reporter(spark, progress)
+    _stage = stage_runner(cat, fp, timings, reporter)
+
+    with reporter:
+        a_prep = _stage("link_a_prep", lambda: prep_corpus(a_turns, cfg))
+        b_prep = _stage("link_b_prep", lambda: prep_corpus(b_turns, cfg))
+        scored = _stage(
+            "link_scored",
+            lambda: score_pairs(
+                link_candidate_pairs(
+                    a_prep, b_prep, cfg,
+                    payload_cols=["canon_text", "shingles", "total_chars"],
+                ),
+                cfg,
+                include_jaro_winkler=(model == "blend"),
+            ),
+        )
+        if model == "fs":
+            from translink.fellegi_sunter import (
+                comparison_vectors, fs_em_fit, fs_weight_expr,
+                fs_weight_threshold,
+            )
+
+            gammas = comparison_vectors(scored, cfg)
+            params = fs_em_fit(gammas)
+            ranked = gammas.withColumn("score", fs_weight_expr(params))
+            thr = fs_weight_threshold(min_match_prob, params)
+        else:
+            ranked, thr = scored, threshold
+        matches = _stage(
+            "link_matched",
+            lambda: mutual_best_matches(ranked, cfg, threshold=thr),
+        )
+    return {
+        "a_prep": a_prep, "b_prep": b_prep, "scored": scored,
+        "matches": matches, "timings": timings,
+    }

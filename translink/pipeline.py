@@ -68,6 +68,20 @@ def run_pipeline(
     fp = cfg.fingerprint() + ":" + input_fingerprint
     timings: dict[str, float] = {}
     reporter = make_reporter(spark, progress)
+    _stage = stage_runner(cat, fp, timings, reporter)
+
+    with reporter:
+        return _run_stages(transcripts, cfg, _stage, timings, cat)
+
+
+def stage_runner(cat, fp: str, timings: dict, reporter):
+    """The ONE checkpoint-or-resume stage discipline, shared by the dedup
+    pipeline and ``linkage.run_link_pipeline``: with a catalog, a stage
+    whose (config, input) fingerprint matches is read back instead of
+    recomputed; without one, each stage still materializes once
+    (block-manager checkpoint) because downstream stages consume every
+    stage 2-3x and recomputing signature/scoring lineage per consumer
+    would dominate the run."""
 
     def _stage(name: str, build) -> DataFrame:
         t0 = time.time()
@@ -79,17 +93,12 @@ def run_pipeline(
                 return df
             df = cat.write_stage(name, build(), fp)
         else:
-            # no durable catalog: still materialize each stage once
-            # (block-manager checkpoint) — downstream stages consume every
-            # stage 2-3x, and recomputing signature/scoring lineage per
-            # consumer would dominate the run
             df = build().localCheckpoint(eager=True)
         timings[name] = round(time.time() - t0, 3)
         reporter.sink(f"[pipeline] stage {name}: done in {timings[name]:.1f}s")
         return df
 
-    with reporter:
-        return _run_stages(transcripts, cfg, _stage, timings, cat)
+    return _stage
 
 
 def _run_stages(transcripts, cfg, _stage, timings, cat) -> dict:

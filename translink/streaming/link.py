@@ -40,25 +40,17 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from translink.canonicalize import canonicalize
 from translink.config import LinkConfig
-from translink.blocking import with_block_key
-from translink.linkage import link_candidate_pairs, mutual_best_matches
+from translink.linkage import (
+    link_candidate_pairs,
+    mutual_best_matches,
+    prep_corpus as _prep,
+)
 from translink.scoring import score_pairs
-from translink.signatures import shingles_expr
 from translink.streaming.incremental import stream_transcript_dir
 
 A_PREP = "link_a_prep"
 MATCHES = "link_matches"
-
-
-def _prep(turns: DataFrame, cfg: LinkConfig) -> DataFrame:
-    c = with_block_key(canonicalize(turns, cfg), cfg)
-    # total_chars rides along for the FS comparison vectors (g_len)
-    return c.select(
-        "conv_id", "block_key", "canon_text", "total_chars",
-        shingles_expr("canon_text", cfg.shingle_size).alias("shingles"),
-    )
 
 
 def prepare_reference(
