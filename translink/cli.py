@@ -159,26 +159,34 @@ def _run_linkage(spark, a_turns, args, cfg) -> int:
     the CLI face of linkage.link_tables / fellegi_sunter.fs_link_tables."""
     from pyspark.sql import functions as F
 
+    from translink.catalog import input_content_fingerprint
+    from translink.linkage import run_link_pipeline
     from translink.report import write_link_report
 
     b_turns = spark.read.parquet(args.link_b)
-    if args.link_model == "fs":
-        from translink.fellegi_sunter import fs_link_tables
-
-        matches = fs_link_tables(a_turns, b_turns, cfg)
-        sort_col = "match_weight"
-    else:
-        from translink.linkage import link_tables
-
-        matches = link_tables(a_turns, b_turns, cfg,
-                              threshold=args.threshold)
-        sort_col = "score"
-    # the frame feeds a count AND a write/show — checkpoint so the
-    # linkage lineage (blocking + A-x-B join + scoring) runs once
-    matches = matches.localCheckpoint(eager=True)
+    # same resume discipline as the dedup path: with --workdir, every
+    # linkage stage checkpoints under a (config, model, input-content)
+    # fingerprint and a rerun resumes after the last completed stage
+    fp = (
+        input_content_fingerprint(spark, args.input)
+        + "+" + input_content_fingerprint(spark, args.link_b)
+    )
+    result = run_link_pipeline(
+        spark, a_turns, b_turns, cfg,
+        workdir=args.workdir,
+        input_fingerprint=fp,
+        model=args.link_model,
+        threshold=args.threshold,
+        progress=args.progress,
+    )
+    sort_col = "match_weight" if args.link_model == "fs" else "score"
+    # the frame feeds a count AND a write/show — run_link_pipeline has
+    # already materialized it (catalog stage or localCheckpoint)
+    matches = result["matches"]
     stats = {
         "model": args.link_model,
         "n_matches": matches.count(),
+        "timings_s": result["timings"],
     }
     if args.output:
         write_link_report(matches, args.output, fmt=args.format,

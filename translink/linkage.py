@@ -326,19 +326,27 @@ def run_link_pipeline(
         )
         if model == "fs":
             from translink.fellegi_sunter import (
-                comparison_vectors, fs_em_fit, fs_weight_expr,
-                fs_weight_threshold,
+                comparison_vectors, fs_em_fit, fs_posterior_literal_expr,
+                fs_weight_expr, fs_weight_threshold,
             )
 
             gammas = comparison_vectors(scored, cfg)
             params = fs_em_fit(gammas)
-            ranked = gammas.withColumn("score", fs_weight_expr(params))
+            ranked = (
+                gammas.withColumn("match_weight", fs_weight_expr(params))
+                .withColumn("match_prob", fs_posterior_literal_expr(params))
+                .withColumn("score", F.col("match_weight"))
+            )
             thr = fs_weight_threshold(min_match_prob, params)
+            keep = ["conv_id_a", "conv_id_b", "match_weight", "match_prob"]
         else:
             ranked, thr = scored, threshold
+            keep = ["conv_id_a", "conv_id_b", "token_jaccard",
+                    "levenshtein_sim", "score"]
         matches = _stage(
             "link_matched",
-            lambda: mutual_best_matches(ranked, cfg, threshold=thr),
+            lambda: mutual_best_matches(ranked, cfg, threshold=thr)
+            .select(*keep),
         )
     return {
         "a_prep": a_prep, "b_prep": b_prep, "scored": scored,
