@@ -1556,6 +1556,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["link_topk_candidates"] = q_link_topk_candidates
 
+    # -- Linkage evaluation: P/R/F1 of the mutual-best match set against
+    #    the corpus's planted A<->B truth (every base <-> _dup/_nd twin).
+    #    One full-outer pair join + one aggregate; metrics are single
+    #    IEEE divisions of exact ints (threshold_sweep discipline). -----
+    def q_link_eval(spark, sf_dir):
+        from translink.linkage import mutual_best_matches
+
+        scored = _link_scored_with_payload(spark, sf_dir)
+        matches = mutual_best_matches(scored, CFG).select(
+            "conv_id_a", "conv_id_b"
+        )
+        conv = _spark_canonical(spark, sf_dir).select("conv_id")
+        truth = (
+            conv.filter(F.col("conv_id").endswith("_dup")).select(
+                F.expr("substring(conv_id, 1, length(conv_id) - 4)")
+                .alias("conv_id_a"),
+                F.col("conv_id").alias("conv_id_b"),
+            )
+            .unionByName(
+                conv.filter(F.col("conv_id").endswith("_nd")).select(
+                    F.expr("substring(conv_id, 1, length(conv_id) - 3)")
+                    .alias("conv_id_a"),
+                    F.col("conv_id").alias("conv_id_b"),
+                )
+            )
+            .distinct()
+        )
+        u = matches.withColumn("in_m", F.lit(True)).join(
+            truth.withColumn("in_t", F.lit(True)),
+            ["conv_id_a", "conv_id_b"], "full_outer",
+        )
+        agg = u.agg(
+            F.sum(F.when(F.col("in_m").isNotNull(), 1).otherwise(0))
+            .alias("n_matches"),
+            F.sum(F.when(F.col("in_t").isNotNull(), 1).otherwise(0))
+            .alias("n_true"),
+            F.sum(F.when(F.col("in_m").isNotNull()
+                         & F.col("in_t").isNotNull(), 1).otherwise(0))
+            .alias("tp"),
+        )
+        tp = F.col("tp")
+        div = lambda num, den: F.when(  # noqa: E731
+            den == 0, F.lit(None).cast("double")
+        ).otherwise(num.cast("double") / den)
+        return agg.select(
+            "n_matches", "n_true", "tp",
+            div(tp, F.col("n_matches")).alias("precision"),
+            div(tp, F.col("n_true")).alias("recall"),
+            div(tp * 2, F.col("n_matches") + F.col("n_true")).alias("f1"),
+        )
+    q["link_eval"] = q_link_eval
+
     # -- Per-cluster evidence-graph diagnostics (over-merge audit): edge
     #    counts per evidence lane, minimum similarity edge score, and
     #    similarity-graph density for every multi-member cluster. -------
@@ -1697,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_fs_waterfall", "link_unlinkables",
         "cluster_graph_stats", "cluster_stability", "threshold_sweep",
         "link_fs_params", "cluster_glue_edges", "link_topk_candidates",
+        "link_eval",
         "link_fs_tf_scores", "link_review_queue",
         "blocking_eval", "link_fs_decisions", "dedup_eval_bcubed",
         "mm_image_features", "mm_audio_chunks",
@@ -3154,6 +3207,52 @@ SELECT c.conv_id AS conv_id_a,
 FROM canonical c LEFT JOIN best b ON c.conv_id = b.conv_id_a
 WHERE NOT (ends_with(c.conv_id, '_dup') OR ends_with(c.conv_id, '_nd'))
   AND (b.best_score IS NULL OR b.best_score < {CFG.threshold})
+"""
+
+    # Linkage-evaluation twin: the link_matches mutual-best under the
+    # same truth construction as blocking_eval, counted with exact ints.
+    o["link_eval"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+{_LINK_SQL},
+{_SCORE_SQL},
+best_a AS (
+  SELECT conv_id_a, conv_id_b, score
+  FROM scored_final WHERE score >= {CFG.threshold}
+  QUALIFY row_number() OVER (PARTITION BY conv_id_a
+                             ORDER BY score DESC, conv_id_b) = 1
+),
+m AS (
+  SELECT conv_id_a, conv_id_b FROM best_a
+  QUALIFY row_number() OVER (PARTITION BY conv_id_b
+                             ORDER BY score DESC, conv_id_a) = 1
+),
+truth AS (
+  SELECT DISTINCT substr(conv_id, 1, length(conv_id) - 4) AS conv_id_a,
+                  conv_id AS conv_id_b
+  FROM canonical WHERE ends_with(conv_id, '_dup')
+  UNION
+  SELECT DISTINCT substr(conv_id, 1, length(conv_id) - 3), conv_id
+  FROM canonical WHERE ends_with(conv_id, '_nd')
+),
+u AS (
+  SELECT m.conv_id_a IS NOT NULL AS in_m, t.conv_id_a IS NOT NULL AS in_t
+  FROM m FULL OUTER JOIN truth t
+    ON m.conv_id_a = t.conv_id_a AND m.conv_id_b = t.conv_id_b
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN in_m THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+         CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         CAST(sum(CASE WHEN in_m AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM u
+)
+SELECT n_matches, n_true, tp,
+       CASE WHEN n_matches = 0 THEN NULL
+            ELSE CAST(tp AS DOUBLE) / n_matches END AS "precision",
+       CASE WHEN n_true = 0 THEN NULL
+            ELSE CAST(tp AS DOUBLE) / n_true END AS recall,
+       CASE WHEN n_matches + n_true = 0 THEN NULL
+            ELSE CAST(2 * tp AS DOUBLE) / (n_matches + n_true) END AS f1
+FROM agg
 """
 
     # Shortlist twin: the same per-record rank over identically-computed
