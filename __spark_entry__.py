@@ -446,6 +446,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return blocking_quality_frame(cand, truth)
     q["blocking_eval"] = q_blocking_eval
 
+    # -- Meta-blocking lane (translink/metablocking.py): shingle blocking +
+    #    block purging -> evidence-weighted blocking graph -> CNP prune.
+    #    Shingle (not token) keys: on this corpus — as on any corpus big
+    #    enough — every bare token's block exceeds the purge bound, while
+    #    word n-grams keep their selectivity at scale.
+    def _meta_weighted(spark, sf_dir):
+        from translink.metablocking import (
+            meta_block_pairs, purge_blocks, shingle_block_keys,
+        )
+
+        keys = purge_blocks(
+            shingle_block_keys(_spark_canonical(spark, sf_dir), CFG), CFG
+        )
+        return meta_block_pairs(keys, CFG)
+
+    def q_meta_shingle_pairs(spark, sf_dir):
+        """Evidence-weighted blocking-graph edges of the shingle lane:
+        common-block count (CBS) + key-set Jaccard weight (JS) per pair
+        sharing >= 1 purged shingle block."""
+        return _meta_weighted(spark, sf_dir)
+    q["meta_shingle_pairs"] = q_meta_shingle_pairs
+
+    def q_meta_shingle_pairs_pruned(spark, sf_dir):
+        """CNP-pruned meta-blocking graph: per node keep the top
+        ``meta_top_k`` neighbors by (weight DESC, id ASC); an edge
+        survives if either endpoint retains it."""
+        from translink.metablocking import cnp_prune
+
+        return cnp_prune(_meta_weighted(spark, sf_dir), CFG)
+    q["meta_shingle_pairs_pruned"] = q_meta_shingle_pairs_pruned
+
+    def q_meta_blocking_eval(spark, sf_dir):
+        """Pairs completeness / quality of the token meta-blocking graph
+        against the planted truth — the apples-to-apples comparison row
+        for blocking_eval (attribute lane)."""
+        from translink.evaluate import blocking_quality_frame
+
+        cand = _meta_weighted(spark, sf_dir).select("conv_id_a", "conv_id_b")
+        conv = _spark_canonical(spark, sf_dir).select("conv_id")
+        truth = (
+            conv.filter(F.col("conv_id").endswith("_dup")).select(
+                F.expr("substring(conv_id, 1, length(conv_id) - 4)")
+                .alias("conv_id_a"),
+                F.col("conv_id").alias("conv_id_b"),
+            )
+            .unionByName(
+                conv.filter(F.col("conv_id").endswith("_nd")).select(
+                    F.expr("substring(conv_id, 1, length(conv_id) - 3)")
+                    .alias("conv_id_a"),
+                    F.col("conv_id").alias("conv_id_b"),
+                )
+            )
+        )
+        return blocking_quality_frame(cand, truth)
+    q["meta_blocking_eval"] = q_meta_blocking_eval
+
     # -- q05: pairwise scoring (H13 blend, JVM components) ----------------
     def q_scores(spark, sf_dir):
         return _spark_scored_pairs(spark, sf_dir).select(
@@ -1746,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the long-green round-1/2 set follows in its original order. Pure
     # reordering — every (name, callable) pair is unchanged.
     never_checked = [
+        "meta_shingle_pairs", "meta_shingle_pairs_pruned", "meta_blocking_eval",
         "link_fs_waterfall", "link_unlinkables",
         "cluster_graph_stats", "cluster_stability", "threshold_sweep",
         "link_fs_params", "cluster_glue_edges", "link_topk_candidates",
@@ -1810,6 +1867,95 @@ cand AS (
   SELECT DISTINCT least(conv_id_a, conv_id_b) AS lo,
                   greatest(conv_id_a, conv_id_b) AS hi
   FROM cand_pairs
+),
+truth AS (
+  SELECT DISTINCT least(substr(conv_id, 1, length(conv_id) - 4), conv_id) AS lo,
+                  greatest(substr(conv_id, 1, length(conv_id) - 4), conv_id) AS hi
+  FROM canonical WHERE ends_with(conv_id, '_dup')
+  UNION
+  SELECT DISTINCT least(substr(conv_id, 1, length(conv_id) - 3), conv_id),
+                  greatest(substr(conv_id, 1, length(conv_id) - 3), conv_id)
+  FROM canonical WHERE ends_with(conv_id, '_nd')
+),
+u AS (
+  SELECT c.lo IS NOT NULL AS in_c, t.lo IS NOT NULL AS in_t
+  FROM cand c FULL OUTER JOIN truth t ON c.lo = t.lo AND c.hi = t.hi
+)
+SELECT
+  CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+  CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+  CAST(sum(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_true_covered,
+  CAST(sum(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END) AS DOUBLE)
+    / sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS pairs_completeness,
+  CAST(sum(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END) AS DOUBLE)
+    / sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS pairs_quality
+FROM u
+"""
+
+    # Meta-blocking lane (translink/metablocking.py). Shingling is the
+    # engine-shared family (_shingles_sql / TOKENIZE_PATTERN); the JS
+    # weight is one IEEE division of exact int64s; CNP rank ties break on
+    # the neighbor id — every step is reproducible ANSI SQL, so the whole
+    # lane gets full oracle twins.
+    _META_SQL = f"""
+meta_toks AS (
+  SELECT conv_id,
+         unnest({_shingles_sql(f'substr(canon_text, 1, {CFG.meta_text_cap})',
+                               CFG.shingle_size)}) AS key
+  FROM canonical
+),
+meta_kept AS (
+  SELECT conv_id, key FROM (
+    SELECT conv_id, key, count(*) OVER (PARTITION BY key) AS bs
+    FROM meta_toks
+  ) WHERE bs >= 2 AND bs <= {CFG.meta_purge_size}
+),
+meta_nk AS (SELECT conv_id, count(*) AS nk FROM meta_kept GROUP BY 1),
+meta_w AS (
+  SELECT p.conv_id_a, p.conv_id_b, p.common_keys,
+         CAST(p.common_keys AS DOUBLE) / (na.nk + nb.nk - p.common_keys)
+           AS weight
+  FROM (
+    SELECT a.conv_id AS conv_id_a, b.conv_id AS conv_id_b,
+           CAST(count(*) AS BIGINT) AS common_keys
+    FROM meta_kept a JOIN meta_kept b
+      ON a.key = b.key AND a.conv_id < b.conv_id
+    GROUP BY 1, 2
+  ) p
+  JOIN meta_nk na ON p.conv_id_a = na.conv_id
+  JOIN meta_nk nb ON p.conv_id_b = nb.conv_id
+)"""
+
+    o["meta_shingle_pairs"] = f"""
+WITH {_TRANSCRIPTS_SQL}, {_META_SQL}
+SELECT conv_id_a, conv_id_b, common_keys, weight FROM meta_w
+"""
+
+    o["meta_shingle_pairs_pruned"] = f"""
+WITH {_TRANSCRIPTS_SQL}, {_META_SQL},
+meta_directed AS (
+  SELECT conv_id_a AS src, conv_id_b AS dst, weight FROM meta_w
+  UNION ALL
+  SELECT conv_id_b, conv_id_a, weight FROM meta_w
+),
+meta_keep AS (
+  SELECT DISTINCT least(src, dst) AS conv_id_a,
+                  greatest(src, dst) AS conv_id_b
+  FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src
+             ORDER BY weight DESC, dst) AS rk
+    FROM meta_directed
+  ) WHERE rk <= {CFG.meta_top_k}
+)
+SELECT w.conv_id_a, w.conv_id_b, w.common_keys, w.weight
+FROM meta_w w JOIN meta_keep USING (conv_id_a, conv_id_b)
+"""
+
+    o["meta_blocking_eval"] = f"""
+WITH {_TRANSCRIPTS_SQL}, {_META_SQL},
+cand AS (
+  SELECT DISTINCT conv_id_a AS lo, conv_id_b AS hi FROM meta_w
 ),
 truth AS (
   SELECT DISTINCT least(substr(conv_id, 1, length(conv_id) - 4), conv_id) AS lo,

@@ -1,0 +1,154 @@
+"""Meta-blocking: token lane, block purging, edge weighting, CNP pruning.
+
+Mirrors the reference's progressive-key pruning idea (comparisons survive
+only while evidence accumulates across grouping stages,
+``src/pipeline/metadata.rs:43-49``) on the blocking-graph formulation of
+Papadakis et al. (TKDE 2014).
+"""
+
+from pyspark.sql import functions as F
+
+from translink.canonicalize import canonicalize
+from translink.config import LinkConfig
+from translink.evaluate import blocking_quality
+from translink.metablocking import (
+    cnp_prune,
+    meta_block_pairs,
+    purge_blocks,
+    token_block_keys,
+)
+
+CFG = LinkConfig()
+
+
+def _keys(tiny, cfg=CFG):
+    canonical = canonicalize(tiny["transcripts"], cfg)
+    return purge_blocks(token_block_keys(canonical, cfg), cfg)
+
+
+def test_purge_bounds_every_block(spark, tiny):
+    sizes = _keys(tiny).groupBy("key").count()
+    lo, hi = sizes.agg(F.min("count"), F.max("count")).first()
+    assert lo >= 2
+    assert hi <= CFG.meta_purge_size
+
+
+def test_keys_are_distinct_per_record(spark, tiny):
+    keys = _keys(tiny)
+    assert keys.count() == keys.distinct().count()
+
+
+def test_weights_are_sane_and_pairs_unique(spark, tiny):
+    w = meta_block_pairs(_keys(tiny), CFG)
+    rows = w.count()
+    assert rows == w.select("conv_id_a", "conv_id_b").distinct().count()
+    bad = w.filter(
+        (F.col("conv_id_a") >= F.col("conv_id_b"))
+        | (F.col("common_keys") < 1)
+        | (F.col("weight") <= 0)
+        | (F.col("weight") > 1.0)
+    ).count()
+    assert bad == 0
+
+
+def test_exact_duplicates_weight_one(spark, tiny):
+    """An exact duplicate shares every key with its original -> its key-set
+    Jaccard weight is exactly 1.0 (no purged key can break the tie: purging
+    removes the key from BOTH records)."""
+    w = meta_block_pairs(_keys(tiny), CFG)
+    dup = w.filter(
+        F.col("conv_id_b") == F.concat(F.col("conv_id_a"), F.lit("_dup1"))
+    )
+    n = dup.count()
+    assert n >= 3
+    assert dup.filter(F.col("weight") != 1.0).count() == 0
+
+
+def test_cnp_prune_is_subset_and_linear(spark, tiny):
+    keys = _keys(tiny)
+    w = meta_block_pairs(keys, CFG)
+    pruned = cnp_prune(w, CFG)
+    assert pruned.count() <= w.count()
+    # union-rule retention: total surviving edges <= records * k
+    n_records = keys.select("conv_id").distinct().count()
+    assert pruned.count() <= n_records * CFG.meta_top_k
+    # subset: every pruned edge exists in the weighted graph with its weight
+    joined = pruned.join(
+        w.withColumnRenamed("weight", "w0"),
+        ["conv_id_a", "conv_id_b"],
+    )
+    assert joined.count() == pruned.count()
+    assert joined.filter(F.col("weight") != F.col("w0")).count() == 0
+
+
+def test_true_pairs_survive_pruning(spark, tiny):
+    """Recall contract of the prune. Pairwise completeness is the right
+    metric for the FULL graph; after CNP it is deliberately not — inside a
+    50-clique of exact duplicates each node retains only k edges, so most
+    of the C(50,2) pairwise edges die while the clique stays connected.
+    What the downstream pipeline needs from the pruned graph is exactly
+    that connectivity: transitive clustering re-derives every true pair
+    from a spanning subgraph. So: full graph >= 0.95 pairwise, and the
+    pruned graph must keep every true pair the full graph covered in ONE
+    connected component."""
+    from translink.clustering import connected_components
+
+    keys = _keys(tiny)
+    w = meta_block_pairs(keys, CFG)
+    truth = tiny["labeled_pairs"].filter("is_match")
+    q_full = blocking_quality(w, truth)
+    assert q_full["pairs_completeness"] >= 0.95
+
+    pruned = cnp_prune(w, CFG)
+    cc = connected_components(
+        pruned.select(F.col("conv_id_a").alias("src"),
+                      F.col("conv_id_b").alias("dst")),
+        CFG,
+    )
+    joined = (
+        truth.select("conv_id_a", "conv_id_b")
+        .join(cc.select(F.col("conv_id").alias("conv_id_a"),
+                        F.col("cluster_id").alias("cl_a")), "conv_id_a")
+        .join(cc.select(F.col("conv_id").alias("conv_id_b"),
+                        F.col("cluster_id").alias("cl_b")), "conv_id_b")
+    )
+    n_true = truth.count()
+    n_same = joined.filter(F.col("cl_a") == F.col("cl_b")).count()
+    # connectivity recall of the pruned graph >= the full graph's pairwise
+    # completeness: pruning cost volume, not recall
+    assert n_same / n_true >= q_full["pairs_completeness"]
+
+
+def test_shingle_lane_recall_and_purge(spark, tiny):
+    """The shingle-key lane (the scale path: every bare token goes
+    stop-word on a large corpus, shingles stay selective) must keep the
+    same planted recall through purge + weighting, under the same purge
+    bound."""
+    from translink.metablocking import shingle_block_keys
+
+    canonical = canonicalize(tiny["transcripts"], CFG)
+    keys = purge_blocks(shingle_block_keys(canonical, CFG), CFG)
+    hi = keys.groupBy("key").count().agg(F.max("count")).first()[0]
+    assert hi <= CFG.meta_purge_size
+    w = meta_block_pairs(keys, CFG)
+    truth = tiny["labeled_pairs"].filter("is_match")
+    q = blocking_quality(w, truth)
+    assert q["pairs_completeness"] >= 0.95
+    # exact duplicates still weigh 1.0 in the shingle lane
+    dup = w.filter(
+        F.col("conv_id_b") == F.concat(F.col("conv_id_a"), F.lit("_dup1"))
+    )
+    assert dup.count() >= 3
+    assert dup.filter(F.col("weight") != 1.0).count() == 0
+
+
+def test_hot_stopword_block_is_purged(spark, tiny):
+    """A token present in more than meta_purge_size records must not
+    survive purging (stop-word guard — the lane's skew bound)."""
+    cfg = LinkConfig(meta_purge_size=8)
+    canonical = canonicalize(tiny["transcripts"], cfg)
+    raw = token_block_keys(canonical, cfg)
+    hot = raw.groupBy("key").count().filter(F.col("count") > 8).count()
+    assert hot >= 1  # the fixture vocabulary guarantees hot tokens
+    kept_sizes = purge_blocks(raw, cfg).groupBy("key").count()
+    assert kept_sizes.agg(F.max("count")).first()[0] <= 8

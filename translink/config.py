@@ -53,6 +53,16 @@ class LinkConfig:
     # kept for callers whose blocks have no similarity-correlated order
     # (e.g. semantic-dedup k-means cells, translink/ann.py).
     salt_mode: str = "rank"
+    # ---- meta-blocking (token lane; translink/metablocking.py) ----------
+    # chars of canonical text feeding the token-blocking keys (bounds
+    # per-record key fan-out and blocking-graph degree)
+    meta_text_cap: int = 512
+    # block purging bound: token blocks larger than this are dropped
+    # wholesale (stop-word blocks — quadratic cost, near-zero evidence);
+    # this purge IS the token lane's skew bound (no salt needed)
+    meta_purge_size: int = 64
+    # CNP pruning: per node keep its top-k weighted neighbors (union rule)
+    meta_top_k: int = 10
     # ---- scoring (stage 4) ----------------------------------------------
     # cap text length for O(n*m) Levenshtein: the quadratic term dominates
     # pair scoring (measured 67s of a 96s stage at cap=512, 63k pairs); 256
@@ -118,6 +128,10 @@ class LinkConfig:
             )
         if self.min_turns < 0 or self.turn_text_cap < 1 or self.cc_max_iterations < 1:
             raise ValueError("min_turns >= 0, turn_text_cap >= 1, cc_max_iterations >= 1")
+        if self.meta_text_cap < 1 or self.meta_purge_size < 2 or self.meta_top_k < 1:
+            raise ValueError(
+                "meta_text_cap >= 1, meta_purge_size >= 2, meta_top_k >= 1"
+            )
         return self
 
     #: Engine schema/semantics version — bump whenever a stage's output

@@ -89,19 +89,25 @@ def blocking_quality_frame(
         .withColumn("_t", F.lit(1))
     )
     u = c.join(t, ["lo", "hi"], "full_outer")
+    # coalesce: an EMPTY candidate (or truth) side must read 0, not NULL —
+    # sum over an all-NULL indicator column is NULL in Spark while the
+    # CASE-WHEN counting idiom of the SQL twins yields 0
     agg = u.agg(
-        F.sum("_c").cast("bigint").alias("n_candidates"),
-        F.sum("_t").cast("bigint").alias("n_true"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("n_candidates"),
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("n_true"),
         F.sum(
             F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1)
             .otherwise(0)
         ).cast("bigint").alias("n_true_covered"),
     )
+    # try_divide: an empty side's ratio is NULL (0/0) in both engines —
+    # plain `/` raises DIVIDE_BY_ZERO under ANSI once the counts coalesce
+    # to 0 instead of NULL
     return agg.select(
         "n_candidates", "n_true", "n_true_covered",
-        (F.col("n_true_covered") / F.col("n_true"))
+        F.try_divide(F.col("n_true_covered"), F.col("n_true"))
         .cast("double").alias("pairs_completeness"),
-        (F.col("n_true_covered") / F.col("n_candidates"))
+        F.try_divide(F.col("n_true_covered"), F.col("n_candidates"))
         .cast("double").alias("pairs_quality"),
     )
 

@@ -1,0 +1,243 @@
+"""Meta-blocking — redundancy-aware candidate pruning over a blocking graph.
+
+The reference prunes its comparison space by re-grouping candidates on
+progressively stronger keys (size -> sampled checksum -> full hash;
+reference ``src/pipeline/metadata.rs:43-49``,
+``src/pipeline/streaming_hash.rs:132-202``): records that keep co-occurring
+as the key gets stronger are the ones worth a full comparison.
+Meta-blocking (Papadakis, Koutrika, Palpanas & Nejdl, "Meta-Blocking:
+Taking Entity Resolution to the Next Level", IEEE TKDE 2014) generalizes
+that idea to ANY redundant blocking scheme: build the *blocking graph*
+whose edges are record pairs sharing >= 1 block, WEIGHT each edge by its
+co-occurrence evidence, and prune low-evidence edges *before* any
+expensive pairwise scoring. Combined with token blocking and block purging
+(Papadakis et al., JCDL 2011) it is the standard way to run a
+high-redundancy blocking lane at corpus scale without a quadratic blow-up.
+
+Pipeline shape (all stages bounded, broadcast-free, no driver loops):
+
+1. **Token blocking** — every distinct lowercase word token of the (capped)
+   canonical text is a blocking key: one ``(conv_id, key)`` row per token,
+   O(tokens) rows total.
+2. **Block purging** — keys whose block exceeds ``meta_purge_size`` are
+   dropped wholesale: stop-word blocks cost O(size^2) pairs and carry
+   near-zero evidence (everything co-occurs in "the"). Singleton blocks
+   pair nothing and die too. After purging, per-key join fan-out is capped
+   at ``meta_purge_size^2`` regardless of corpus size — purging IS the
+   skew bound for this lane (the attribute/LSH lanes bound with salt
+   instead because every one of their keys must survive).
+3. **Edge weighting** — one self-join per surviving key, one map-side
+   combined aggregation on the pair id: ``common_keys`` = number of shared
+   blocks (CBS weight), and the Jaccard-normalized
+   ``weight = common / (|keys_a| + |keys_b| - common)`` (JS weight) from a
+   join against the tiny per-node key-count frame. The weight is a single
+   IEEE division of exact int64s — bit-reproducible across engines.
+4. **CNP pruning** (cardinality node pruning, node-centric with union
+   semantics) — per node keep its top-``meta_top_k`` neighbors by
+   ``(weight DESC, neighbor id ASC)``; an edge survives if EITHER endpoint
+   retains it. Two window ranks over the sparse weighted edge set, then
+   one semi-style join back — the surviving edge set is bounded by
+   ``records * k``: linear in the corpus, however dense the graph was.
+
+The surviving pairs feed the same scorer as every other lane
+(``translink.scoring.score_pairs``); schema matches ``candidate_pairs``
+minus payloads: ``(conv_id_a, conv_id_b, common_keys, weight)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from translink.config import LinkConfig
+from translink.signatures import TOKENIZE_PATTERN
+
+
+def token_block_keys(
+    canonical: DataFrame,
+    cfg: LinkConfig | None = None,
+    text_col: str = "canon_text",
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Token-blocking lane: one ``(conv_id, key)`` row per distinct
+    lowercase word token of the first ``cfg.meta_text_cap`` chars of
+    ``text_col``.
+
+    The cap bounds per-record key fan-out (and the downstream graph
+    degree) the same way ``lev_text_cap`` bounds the scorer: canonical
+    text opens with the earliest turns, which carry the discriminating
+    prefix for transcripts. Tokenization is the engine-shared
+    ``TOKENIZE_PATTERN`` (translink/signatures.py) so the DuckDB oracle
+    reproduces the key set exactly.
+    """
+    cfg = cfg or LinkConfig()
+    capped = F.substring(F.col(text_col), 1, cfg.meta_text_cap)
+    toks = F.array_remove(
+        F.array_distinct(F.split(F.lower(capped), TOKENIZE_PATTERN)), ""
+    )
+    return canonical.select(
+        F.col(id_col).alias("conv_id"),
+        F.explode(toks).alias("key"),
+    )
+
+
+def shingle_block_keys(
+    canonical: DataFrame,
+    cfg: LinkConfig | None = None,
+    text_col: str = "canon_text",
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Shingle-blocking lane: one ``(conv_id, key)`` row per distinct word
+    ``cfg.shingle_size``-gram of the capped canonical text.
+
+    The discriminating alternative to :func:`token_block_keys` for corpora
+    whose per-token document frequency explodes with scale: on a
+    10^12-conversation corpus every single TOKEN is a stop-word (its block
+    exceeds any purge bound and the whole token lane purges away), while
+    word n-grams keep their selectivity — a shingle's block collects only
+    records sharing a full n-word phrase. Same purge/weight/prune stack
+    downstream; the weight becomes the records' shingle-set Jaccard, i.e.
+    the inverted-index formulation of the exact Jaccard join (the
+    prefix-filtering/AllPairs family, Bayardo et al., WWW 2007) with
+    meta-blocking's evidence pruning on top.
+    """
+    cfg = cfg or LinkConfig()
+    from translink.signatures import shingles_expr
+
+    capped = canonical.withColumn(
+        "_meta_text", F.substring(F.col(text_col), 1, cfg.meta_text_cap)
+    )
+    return capped.select(
+        F.col(id_col).alias("conv_id"),
+        F.explode(shingles_expr("_meta_text", cfg.shingle_size)).alias("key"),
+    )
+
+
+def purge_blocks(keys: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
+    """Block purging: drop keys whose block size is outside
+    ``[2, cfg.meta_purge_size]``.
+
+    One window count over ``key`` — a single shuffle whose partitioning
+    the downstream self-join on ``key`` reuses. Oversized (stop-word)
+    blocks are removed wholesale rather than salted: unlike the
+    attribute/LSH lanes, a token lane is *redundant* (every record holds
+    many keys), so dropping a hot key loses a pair only if that key was
+    its sole shared block — and a pair whose only evidence is a stop-word
+    was noise, not signal (Papadakis et al. 2011 measure exactly this
+    trade).
+    """
+    cfg = cfg or LinkConfig()
+    bs = F.count("*").over(Window.partitionBy("key"))
+    return (
+        keys.withColumn("block_size", bs)
+        .filter(
+            (F.col("block_size") >= 2)
+            & (F.col("block_size") <= cfg.meta_purge_size)
+        )
+        .drop("block_size")
+    )
+
+
+def meta_block_pairs(
+    keys: DataFrame, cfg: LinkConfig | None = None
+) -> DataFrame:
+    """Blocking-graph edges with evidence weights from a purged
+    ``(conv_id, key)`` table.
+
+    Output: ``(conv_id_a, conv_id_b, common_keys: bigint, weight: double)``
+    with ``conv_id_a < conv_id_b``; ``weight`` is the Jaccard similarity of
+    the two records' key sets (JS weighting scheme) — ``common_keys`` is
+    the raw co-occurrence count (CBS scheme) for callers that prefer it.
+
+    Shapes: the self-join fans out <= ``meta_purge_size`` per input row
+    (purge bound); the pair aggregation map-side combines multi-key
+    collisions before the shuffle on the pair id; the per-node key-count
+    frame is two ints per record and joins sort-merge on ``conv_id``.
+    """
+    cfg = cfg or LinkConfig()
+    # pin the self-join partitioning (candidate_pairs discipline: AQE sizes
+    # reducer counts by input bytes and starves the fan-out of cores)
+    left = keys.repartition(cfg.shuffle_partitions, "key")
+    pairs = (
+        left.alias("a")
+        .hint("MERGE")
+        .join(
+            left.alias("b"),
+            on=[
+                F.col("a.key") == F.col("b.key"),
+                F.col("a.conv_id") < F.col("b.conv_id"),
+            ],
+        )
+        .select(
+            F.col("a.conv_id").alias("conv_id_a"),
+            F.col("b.conv_id").alias("conv_id_b"),
+        )
+        .groupBy("conv_id_a", "conv_id_b")
+        .agg(F.count("*").alias("common_keys"))
+    )
+    nk = keys.groupBy("conv_id").agg(F.count("*").alias("nk"))
+    return (
+        pairs.join(
+            nk.select(F.col("conv_id").alias("conv_id_a"),
+                      F.col("nk").alias("nk_a")),
+            "conv_id_a",
+        )
+        .join(
+            nk.select(F.col("conv_id").alias("conv_id_b"),
+                      F.col("nk").alias("nk_b")),
+            "conv_id_b",
+        )
+        .select(
+            "conv_id_a",
+            "conv_id_b",
+            "common_keys",
+            (
+                F.col("common_keys").cast("double")
+                / (F.col("nk_a") + F.col("nk_b") - F.col("common_keys"))
+            ).alias("weight"),
+        )
+    )
+
+
+def cnp_prune(
+    weighted: DataFrame, cfg: LinkConfig | None = None
+) -> DataFrame:
+    """Cardinality node pruning: keep an edge iff it ranks in the
+    top-``cfg.meta_top_k`` of EITHER endpoint's neighborhood by
+    ``(weight DESC, neighbor ASC)``.
+
+    The union ("redefined node-centric") retention rule is the
+    recall-preserving variant from the meta-blocking literature: a hub
+    node cannot evict an edge its low-degree partner still values. Ties
+    break on the neighbor id, a total order, so the retained set is
+    deterministic and reproducible in ANSI SQL. Each node RETAINS at most
+    ``meta_top_k`` edges, so the surviving set is bounded by
+    ``records * meta_top_k`` — the candidate volume downstream of this
+    prune is O(records), not O(records^2) (a single node's degree may
+    still exceed k when many partners retain it — that is the union
+    rule's recall working as intended).
+    """
+    cfg = cfg or LinkConfig()
+    directed = weighted.select(
+        F.col("conv_id_a").alias("src"),
+        F.col("conv_id_b").alias("dst"),
+        "weight",
+    ).unionByName(
+        weighted.select(
+            F.col("conv_id_b").alias("src"),
+            F.col("conv_id_a").alias("dst"),
+            "weight",
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.col("weight").desc(), F.col("dst"))
+    )
+    kept = (
+        directed.withColumn("rk", rk)
+        .filter(F.col("rk") <= cfg.meta_top_k)
+        .select(
+            F.least("src", "dst").alias("conv_id_a"),
+            F.greatest("src", "dst").alias("conv_id_b"),
+        )
+        .distinct()
+    )
+    return weighted.join(kept, ["conv_id_a", "conv_id_b"])
