@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "link_fs_scores",
     "threshold_sweep",
     "cluster_graph_stats",
+    "meta_shingle_pairs_pruned",
     "turn_boilerplate",
     "doc_repetition_fast",
     "doc_passage_stats_fast",

@@ -142,6 +142,45 @@ def test_shingle_lane_recall_and_purge(spark, tiny):
     assert dup.filter(F.col("weight") != 1.0).count() == 0
 
 
+def test_meta_lane_composes_with_scorer_and_clusterer(spark, tiny):
+    """The meta-blocking lane is a drop-in candidate generator: its pruned
+    pairs ride the standard scorer (payloads joined in AFTER pruning —
+    heavy text never touches the blocking graph) and transitive clustering,
+    and the planted truth is recovered at full pairwise F1."""
+    from translink.clustering import connected_components
+    from translink.evaluate import pairwise_prf
+    from translink.metablocking import shingle_block_keys
+    from translink.scoring import score_pairs
+
+    canonical = canonicalize(tiny["transcripts"], CFG)
+    keys = purge_blocks(shingle_block_keys(canonical, CFG), CFG)
+    pruned = cnp_prune(meta_block_pairs(keys, CFG), CFG)
+    payload = canonical.select("conv_id", "canon_text")
+    pairs = (
+        pruned.join(
+            payload.select(F.col("conv_id").alias("conv_id_a"),
+                           F.col("canon_text").alias("canon_text_a")),
+            "conv_id_a",
+        )
+        .join(
+            payload.select(F.col("conv_id").alias("conv_id_b"),
+                           F.col("canon_text").alias("canon_text_b")),
+            "conv_id_b",
+        )
+    )
+    edges = (
+        score_pairs(pairs, CFG, include_jaro_winkler=False, cascade=True)
+        .filter(F.col("score") >= CFG.threshold)
+        .select(F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst"))
+    )
+    cc = connected_components(edges, CFG)
+    clusters = canonical.select("conv_id").join(cc, "conv_id", "left").select(
+        "conv_id", F.coalesce("cluster_id", "conv_id").alias("cluster_id")
+    )
+    prf = pairwise_prf(tiny["labeled_pairs"], clusters)
+    assert prf["f1"] >= 0.99
+
+
 def test_hot_stopword_block_is_purged(spark, tiny):
     """A token present in more than meta_purge_size records must not
     survive purging (stop-word guard — the lane's skew bound)."""
