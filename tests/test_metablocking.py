@@ -181,6 +181,20 @@ def test_meta_lane_composes_with_scorer_and_clusterer(spark, tiny):
     assert prf["f1"] >= 0.99
 
 
+def test_pipeline_meta_lane_keeps_f1(spark, tiny):
+    """use_meta_lane=True unions the CNP-pruned shingle graph as a third
+    candidate lane of run_pipeline; the fixture truth must still resolve
+    at full pairwise F1 (the lane can only ADD candidates — the scorer
+    threshold, not the blocker, decides edges)."""
+    from translink.evaluate import pairwise_prf
+    from translink.pipeline import run_pipeline
+
+    cfg = LinkConfig(use_meta_lane=True)
+    res = run_pipeline(spark, tiny["transcripts"], cfg)
+    prf = pairwise_prf(tiny["labeled_pairs"], res["clusters"])
+    assert prf["f1"] >= 0.99
+
+
 def test_hot_stopword_block_is_purged(spark, tiny):
     """A token present in more than meta_purge_size records must not
     survive purging (stop-word guard — the lane's skew bound)."""

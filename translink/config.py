@@ -63,6 +63,11 @@ class LinkConfig:
     meta_purge_size: int = 64
     # CNP pruning: per node keep its top-k weighted neighbors (union rule)
     meta_top_k: int = 10
+    # opt-in third candidate lane of run_pipeline: CNP-pruned shingle
+    # meta-blocking pairs union with the attribute + LSH lanes (recall
+    # insurance for pairs whose MinHash bands all miss; off by default —
+    # the fixture F1 gate holds without it)
+    use_meta_lane: bool = False
     # ---- scoring (stage 4) ----------------------------------------------
     # cap text length for O(n*m) Levenshtein: the quadratic term dominates
     # pair scoring (measured 67s of a 96s stage at cap=512, 63k pairs); 256

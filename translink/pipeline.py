@@ -150,9 +150,36 @@ def _run_stages(transcripts, cfg, _stage, timings, cat) -> dict:
         # hex strings never ride the pre-distinct self-join shuffle — only an
         # 8-byte digest (folded to one boolean map-side) does.
         pair_cols = ["conv_id_a", "conv_id_b", "digest_a", "digest_b"]
+        lanes = [attr_pairs.select(*pair_cols), lsh_pairs.select(*pair_cols)]
+        if cfg.use_meta_lane:
+            # Opt-in lane 3: CNP-pruned shingle meta-blocking graph
+            # (translink/metablocking.py) — recall insurance for pairs all
+            # of whose MinHash bands miss (P[miss] is nonzero at any
+            # band/row setting). The lane ships only ids + an 8-byte
+            # digest into the union; payloads join downstream like every
+            # other lane's survivors.
+            from translink.metablocking import (
+                cnp_prune, meta_block_pairs, purge_blocks, shingle_block_keys,
+            )
+
+            keys = purge_blocks(shingle_block_keys(signed, cfg), cfg)
+            meta = cnp_prune(meta_block_pairs(keys, cfg), cfg)
+            dig = signed.select("conv_id", "digest")
+            meta_pairs = (
+                meta.select("conv_id_a", "conv_id_b")
+                .join(dig.select(F.col("conv_id").alias("conv_id_a"),
+                                 F.col("digest").alias("digest_a")),
+                      "conv_id_a")
+                .join(dig.select(F.col("conv_id").alias("conv_id_b"),
+                                 F.col("digest").alias("digest_b")),
+                      "conv_id_b")
+            )
+            lanes.append(meta_pairs.select(*pair_cols))
+        cand = lanes[0]
+        for lane in lanes[1:]:
+            cand = cand.union(lane)
         cand = (
-            attr_pairs.select(*pair_cols)
-            .union(lsh_pairs.select(*pair_cols))
+            cand
             .select(
                 "conv_id_a", "conv_id_b",
                 (F.col("digest_a") == F.col("digest_b")).alias("_dig_eq"),
