@@ -456,9 +456,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             meta_block_pairs, purge_blocks, shingle_block_keys,
         )
 
+        # the purged key table feeds the self-join (twice) and the per-node
+        # counts — checkpoint it once so the canonicalize/explode lineage
+        # runs a single time (q_cluster_graph_stats discipline)
         keys = purge_blocks(
             shingle_block_keys(_spark_canonical(spark, sf_dir), CFG), CFG
-        )
+        ).localCheckpoint(eager=True)
         return meta_block_pairs(keys, CFG)
 
     def q_meta_shingle_pairs(spark, sf_dir):
@@ -476,6 +479,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return cnp_prune(_meta_weighted(spark, sf_dir), CFG)
     q["meta_shingle_pairs_pruned"] = q_meta_shingle_pairs_pruned
+
+    def q_meta_shingle_pairs_wnp(spark, sf_dir):
+        """WNP-pruned meta-blocking graph: keep an edge iff its integer
+        common-block count reaches the average of either endpoint's
+        neighborhood (adaptive threshold, vs CNP's fixed cardinality)."""
+        from translink.metablocking import wnp_prune
+
+        return wnp_prune(_meta_weighted(spark, sf_dir))
+    q["meta_shingle_pairs_wnp"] = q_meta_shingle_pairs_wnp
+
+    def q_link_meta_pairs(spark, sf_dir):
+        """Cross-corpus (bipartite) meta-blocking: CNP-pruned evidence-
+        weighted A×B pairs over combined-purged shingle keys — the
+        blocking fallback for linkage when attribute keys do not align.
+        A = base conversations, B = the planted re-delivery corpus."""
+        from translink.metablocking import (
+            cnp_prune_bipartite, link_meta_pairs, shingle_block_keys,
+        )
+
+        canonical = _spark_canonical(spark, sf_dir)
+        is_b = (F.col("conv_id").endswith("_dup")
+                | F.col("conv_id").endswith("_nd"))
+        # each side's key table feeds the combined purge, the per-side
+        # node counts and the cross join — checkpoint once per side so
+        # the canonicalize/explode lineage runs once, not 4-6x
+        ka = shingle_block_keys(canonical.filter(~is_b), CFG) \
+            .localCheckpoint(eager=True)
+        kb = shingle_block_keys(canonical.filter(is_b), CFG) \
+            .localCheckpoint(eager=True)
+        return cnp_prune_bipartite(link_meta_pairs(ka, kb, CFG), CFG)
+    q["link_meta_pairs"] = q_link_meta_pairs
 
     def q_meta_blocking_eval(spark, sf_dir):
         """Pairs completeness / quality of the token meta-blocking graph
@@ -1803,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # reordering — every (name, callable) pair is unchanged.
     never_checked = [
         "meta_shingle_pairs", "meta_shingle_pairs_pruned", "meta_blocking_eval",
+        "meta_shingle_pairs_wnp", "link_meta_pairs",
         "link_fs_waterfall", "link_unlinkables",
         "cluster_graph_stats", "cluster_stability", "threshold_sweep",
         "link_fs_params", "cluster_glue_edges", "link_topk_candidates",
@@ -1950,6 +1985,75 @@ meta_keep AS (
 )
 SELECT w.conv_id_a, w.conv_id_b, w.common_keys, w.weight
 FROM meta_w w JOIN meta_keep USING (conv_id_a, conv_id_b)
+"""
+
+    o["meta_shingle_pairs_wnp"] = f"""
+WITH {_TRANSCRIPTS_SQL}, {_META_SQL},
+wnp_dir AS (
+  SELECT conv_id_a AS src, conv_id_b AS dst, common_keys FROM meta_w
+  UNION ALL
+  SELECT conv_id_b, conv_id_a, common_keys FROM meta_w
+),
+wnp_keep AS (
+  SELECT DISTINCT least(src, dst) AS conv_id_a,
+                  greatest(src, dst) AS conv_id_b
+  FROM (
+    SELECT src, dst, common_keys,
+           CAST(sum(common_keys) OVER (PARTITION BY src) AS DOUBLE)
+             / count(*) OVER (PARTITION BY src) AS avg_w
+    FROM wnp_dir
+  ) WHERE CAST(common_keys AS DOUBLE) >= avg_w
+)
+SELECT w.conv_id_a, w.conv_id_b, w.common_keys, w.weight
+FROM meta_w w JOIN wnp_keep USING (conv_id_a, conv_id_b)
+"""
+
+    o["link_meta_pairs"] = f"""
+WITH {_TRANSCRIPTS_SQL},
+lm_toks AS (
+  SELECT conv_id,
+         CASE WHEN ends_with(conv_id, '_dup') OR ends_with(conv_id, '_nd')
+              THEN 'b' ELSE 'a' END AS side,
+         unnest({_shingles_sql(f'substr(canon_text, 1, {CFG.meta_text_cap})',
+                               CFG.shingle_size)}) AS key
+  FROM canonical
+),
+lm_sizes AS (
+  SELECT key,
+         sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS nb
+  FROM lm_toks GROUP BY 1
+),
+lm_kept AS (
+  SELECT t.conv_id, t.side, t.key
+  FROM lm_toks t JOIN lm_sizes s USING (key)
+  WHERE s.na >= 1 AND s.nb >= 1 AND s.na + s.nb <= {CFG.meta_purge_size}
+),
+lm_nk AS (
+  SELECT side, conv_id, count(*) AS nk FROM lm_kept GROUP BY 1, 2
+),
+lm_w AS (
+  SELECT p.conv_id_a, p.conv_id_b, p.common_keys,
+         CAST(p.common_keys AS DOUBLE) / (na.nk + nb.nk - p.common_keys)
+           AS weight
+  FROM (
+    SELECT a.conv_id AS conv_id_a, b.conv_id AS conv_id_b,
+           CAST(count(*) AS BIGINT) AS common_keys
+    FROM lm_kept a JOIN lm_kept b ON a.key = b.key
+     AND a.side = 'a' AND b.side = 'b'
+    GROUP BY 1, 2
+  ) p
+  JOIN lm_nk na ON p.conv_id_a = na.conv_id AND na.side = 'a'
+  JOIN lm_nk nb ON p.conv_id_b = nb.conv_id AND nb.side = 'b'
+)
+SELECT conv_id_a, conv_id_b, common_keys, weight FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_id_a
+                            ORDER BY weight DESC, conv_id_b) AS ra,
+         row_number() OVER (PARTITION BY conv_id_b
+                            ORDER BY weight DESC, conv_id_a) AS rb
+  FROM lm_w
+) WHERE ra <= {CFG.meta_top_k} OR rb <= {CFG.meta_top_k}
 """
 
     o["meta_blocking_eval"] = f"""

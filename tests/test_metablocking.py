@@ -181,6 +181,57 @@ def test_meta_lane_composes_with_scorer_and_clusterer(spark, tiny):
     assert prf["f1"] >= 0.99
 
 
+def test_wnp_prune_is_subset_and_keeps_exact_dups(spark, tiny):
+    """WNP (neighborhood-average threshold) keeps a strict subset, and an
+    exact duplicate always survives: its common-block count is its
+    endpoint's maximum, and a maximum is never below the average."""
+    from translink.metablocking import wnp_prune
+
+    w = meta_block_pairs(_keys(tiny), CFG)
+    pruned = wnp_prune(w)
+    assert 0 < pruned.count() <= w.count()
+    joined = pruned.join(
+        w.withColumnRenamed("weight", "w0"), ["conv_id_a", "conv_id_b"]
+    )
+    assert joined.count() == pruned.count()
+    dup_all = w.filter(
+        F.col("conv_id_b") == F.concat(F.col("conv_id_a"), F.lit("_dup1"))
+    ).count()
+    dup_kept = pruned.filter(
+        F.col("conv_id_b") == F.concat(F.col("conv_id_a"), F.lit("_dup1"))
+    ).count()
+    assert dup_all >= 3
+    assert dup_kept == dup_all
+
+
+def test_link_meta_pairs_bipartite_recall_and_bounds(spark, tiny):
+    """Cross-corpus meta-blocking over the fixture split (base records =
+    side A, planted _dup/_ndup re-deliveries = side B): only A×B pairs
+    come out, the combined purge bound holds, and every planted
+    (x, x_dup1) twin survives CNP pruning with weight 1.0."""
+    from translink.metablocking import (
+        cnp_prune_bipartite, link_meta_pairs, shingle_block_keys,
+    )
+
+    canonical = canonicalize(tiny["transcripts"], CFG)
+    is_b = F.col("conv_id").rlike("_(dup|ndup)[0-9]+$")
+    ka = shingle_block_keys(canonical.filter(~is_b), CFG)
+    kb = shingle_block_keys(canonical.filter(is_b), CFG)
+    w = link_meta_pairs(ka, kb, CFG)
+    # bipartite by construction: every _a id is a base record, every _b a twin
+    assert w.filter(F.col("conv_id_a").rlike("_(dup|ndup)[0-9]+$")).count() == 0
+    assert w.filter(~F.col("conv_id_b").rlike("_(dup|ndup)[0-9]+$")).count() == 0
+    pruned = cnp_prune_bipartite(w, CFG)
+    assert 0 < pruned.count() <= w.count()
+    dup = pruned.filter(
+        F.col("conv_id_b") == F.concat(F.col("conv_id_a"), F.lit("_dup1"))
+    )
+    n_twins = canonical.filter(F.col("conv_id").endswith("_dup1")).count()
+    assert n_twins >= 3
+    assert dup.count() == n_twins
+    assert dup.filter(F.col("weight") != 1.0).count() == 0
+
+
 def test_pipeline_meta_lane_keeps_f1(spark, tiny):
     """use_meta_lane=True unions the CNP-pruned shingle graph as a third
     candidate lane of run_pipeline; the fixture truth must still resolve

@@ -241,3 +241,149 @@ def cnp_prune(
         .distinct()
     )
     return weighted.join(kept, ["conv_id_a", "conv_id_b"])
+
+
+def wnp_prune(weighted: DataFrame) -> DataFrame:
+    """Weight node pruning (WNP): keep an edge iff its evidence reaches the
+    AVERAGE of either endpoint's neighborhood.
+
+    The threshold-based alternative to :func:`cnp_prune` — adaptive rather
+    than fixed-cardinality: a node in a dense duplicate neighborhood keeps
+    more edges than ``k``, an isolated node with one strong neighbor keeps
+    exactly that one. Same union retention rule.
+
+    The pruning weight is deliberately the INTEGER ``common_keys`` (CBS
+    scheme), not the float ``weight``: per-node averages are sums, and
+    float summation order differs between engines/shuffles while int64
+    sums are exact in any order — the average is then a single IEEE
+    division of exact ints and the ``>=`` comparison is bit-reproducible
+    (the same discipline that makes the JS weight itself twin-safe).
+    """
+    directed = weighted.select(
+        F.col("conv_id_a").alias("src"),
+        F.col("conv_id_b").alias("dst"),
+        "common_keys",
+    ).unionByName(
+        weighted.select(
+            F.col("conv_id_b").alias("src"),
+            F.col("conv_id_a").alias("dst"),
+            "common_keys",
+        )
+    )
+    w = Window.partitionBy("src")
+    kept = (
+        directed
+        .withColumn(
+            "_avg",
+            F.sum("common_keys").over(w).cast("double")
+            / F.count("*").over(w),
+        )
+        .filter(F.col("common_keys").cast("double") >= F.col("_avg"))
+        .select(
+            F.least("src", "dst").alias("conv_id_a"),
+            F.greatest("src", "dst").alias("conv_id_b"),
+        )
+        .distinct()
+    )
+    return weighted.join(kept, ["conv_id_a", "conv_id_b"])
+
+
+def link_meta_pairs(
+    keys_a: DataFrame, keys_b: DataFrame, cfg: LinkConfig | None = None
+) -> DataFrame:
+    """Cross-corpus (bipartite) meta-blocking: evidence-weighted A×B pairs
+    from two purged-together ``(conv_id, key)`` lanes.
+
+    The two-corpus analog of :func:`meta_block_pairs` for record LINKAGE
+    (translink/linkage.py): token/shingle keys are the standard blocking
+    fallback when the corpora's attribute keys do not align. Purging runs
+    over the COMBINED block — a key hot across both sides is still a
+    stop-word — and additionally requires the key to appear on BOTH sides
+    (a single-side block pairs nothing across corpora, however small).
+    Per-key join fan-out is bounded by ``(purge/2)^2``; only A-side ×
+    B-side pairs are generated, never within-side.
+
+    Output: ``(conv_id_a, conv_id_b, common_keys, weight)`` where ``_a``
+    ids come from ``keys_a`` and ``_b`` ids from ``keys_b`` (ids may
+    collide across corpora — the sides stay separate frames throughout,
+    so a collision never conflates records).
+    """
+    cfg = cfg or LinkConfig()
+    tagged = keys_a.withColumn("_side", F.lit("a")).unionByName(
+        keys_b.withColumn("_side", F.lit("b"))
+    )
+    sizes = tagged.groupBy("key").agg(
+        F.sum(F.when(F.col("_side") == "a", 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(F.col("_side") == "b", 1).otherwise(0)).alias("_nb"),
+    )
+    good = sizes.filter(
+        (F.col("_na") >= 1) & (F.col("_nb") >= 1)
+        & (F.col("_na") + F.col("_nb") <= cfg.meta_purge_size)
+    ).select("key")
+    kept = tagged.join(good, "key")
+    nk = kept.groupBy("_side", "conv_id").agg(F.count("*").alias("nk"))
+    left = kept.filter(F.col("_side") == "a").select("conv_id", "key")
+    right = kept.filter(F.col("_side") == "b").select("conv_id", "key")
+    pairs = (
+        left.repartition(cfg.shuffle_partitions, "key").alias("a")
+        .hint("MERGE")
+        .join(right.repartition(cfg.shuffle_partitions, "key").alias("b"),
+              F.col("a.key") == F.col("b.key"))
+        .select(
+            F.col("a.conv_id").alias("conv_id_a"),
+            F.col("b.conv_id").alias("conv_id_b"),
+        )
+        .groupBy("conv_id_a", "conv_id_b")
+        .agg(F.count("*").alias("common_keys"))
+    )
+    return (
+        pairs.join(
+            nk.filter(F.col("_side") == "a").select(
+                F.col("conv_id").alias("conv_id_a"), F.col("nk").alias("nk_a")
+            ),
+            "conv_id_a",
+        )
+        .join(
+            nk.filter(F.col("_side") == "b").select(
+                F.col("conv_id").alias("conv_id_b"), F.col("nk").alias("nk_b")
+            ),
+            "conv_id_b",
+        )
+        .select(
+            "conv_id_a",
+            "conv_id_b",
+            "common_keys",
+            (
+                F.col("common_keys").cast("double")
+                / (F.col("nk_a") + F.col("nk_b") - F.col("common_keys"))
+            ).alias("weight"),
+        )
+    )
+
+
+def cnp_prune_bipartite(
+    weighted: DataFrame, cfg: LinkConfig | None = None
+) -> DataFrame:
+    """CNP pruning over a bipartite (cross-corpus) weighted pair set: keep
+    a pair iff it ranks in the top-``meta_top_k`` of its A-side record's
+    B-neighbors OR of its B-side record's A-neighbors.
+
+    Simpler than the unipartite union trick — the two directions are
+    already distinct columns, so both ranks compute on the same frame with
+    two windows. Ties break on the partner id (total order, twin-safe).
+    """
+    cfg = cfg or LinkConfig()
+    ra = F.row_number().over(
+        Window.partitionBy("conv_id_a")
+        .orderBy(F.col("weight").desc(), F.col("conv_id_b"))
+    )
+    rb = F.row_number().over(
+        Window.partitionBy("conv_id_b")
+        .orderBy(F.col("weight").desc(), F.col("conv_id_a"))
+    )
+    return (
+        weighted.withColumn("_ra", ra).withColumn("_rb", rb)
+        .filter((F.col("_ra") <= cfg.meta_top_k)
+                | (F.col("_rb") <= cfg.meta_top_k))
+        .drop("_ra", "_rb")
+    )
