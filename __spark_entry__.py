@@ -511,6 +511,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cnp_prune_bipartite(link_meta_pairs(ka, kb, CFG), CFG)
     q["link_meta_pairs"] = q_link_meta_pairs
 
+    def q_blocking_volume_forecast(spark, sf_dir):
+        """Pre-flight candidate-volume budget: per twin-able blocking lane,
+        the EXACT self-join pair fan-out computed from block sizes alone
+        (sum of C(size, 2)) — O(records) forecast for O(pairs) work. The
+        LSH lane's buckets hash with xxhash64 and have no ANSI twin; its
+        skew surfaces via blocking.oversized_blocks instead."""
+        from translink.blocking import volume_forecast
+        from translink.metablocking import purge_blocks, shingle_block_keys
+
+        attr = volume_forecast(
+            _spark_salted(spark, sf_dir).select("conv_id", "block_key", "salt"),
+            ["block_key", "salt"], "attribute",
+        )
+        keys = purge_blocks(
+            shingle_block_keys(_spark_canonical(spark, sf_dir), CFG), CFG
+        )
+        meta = volume_forecast(keys, ["key"], "meta_shingle")
+        return attr.unionByName(meta)
+    q["blocking_volume_forecast"] = q_blocking_volume_forecast
+
     def q_meta_blocking_eval(spark, sf_dir):
         """Pairs completeness / quality of the token meta-blocking graph
         against the planted truth — the apples-to-apples comparison row
@@ -1838,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_checked = [
         "meta_shingle_pairs", "meta_shingle_pairs_pruned", "meta_blocking_eval",
         "meta_shingle_pairs_wnp", "link_meta_pairs",
+        "blocking_volume_forecast",
         "link_fs_waterfall", "link_unlinkables",
         "cluster_graph_stats", "cluster_stability", "threshold_sweep",
         "link_fs_params", "cluster_glue_edges", "link_topk_candidates",
@@ -1985,6 +2006,29 @@ meta_keep AS (
 )
 SELECT w.conv_id_a, w.conv_id_b, w.common_keys, w.weight
 FROM meta_w w JOIN meta_keep USING (conv_id_a, conv_id_b)
+"""
+
+    o["blocking_volume_forecast"] = f"""
+WITH {_TRANSCRIPTS_SQL}, {_BLOCKED_SQL}, {_META_SQL},
+attr_sizes AS (
+  SELECT block_key, salt, count(*) AS bs FROM salted GROUP BY 1, 2
+),
+meta_sizes AS (
+  SELECT key, count(*) AS bs FROM meta_kept GROUP BY 1
+)
+SELECT 'attribute' AS lane,
+       CAST(coalesce(sum(bs), 0) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(coalesce(max(bs), 0) AS BIGINT) AS max_block_size,
+       CAST(coalesce(sum(bs * (bs - 1) / 2), 0) AS BIGINT) AS join_pairs
+FROM attr_sizes
+UNION ALL
+SELECT 'meta_shingle',
+       CAST(coalesce(sum(bs), 0) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       CAST(coalesce(max(bs), 0) AS BIGINT),
+       CAST(coalesce(sum(bs * (bs - 1) / 2), 0) AS BIGINT)
+FROM meta_sizes
 """
 
     o["meta_shingle_pairs_wnp"] = f"""

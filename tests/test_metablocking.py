@@ -246,6 +246,37 @@ def test_pipeline_meta_lane_keeps_f1(spark, tiny):
     assert prf["f1"] >= 0.99
 
 
+def test_volume_forecast_matches_actual_join(spark, tiny):
+    """The forecast's defining property: sum-of-C(size,2) from block sizes
+    equals the ACTUAL row counts of the joins it predicts — the attribute
+    lane's candidate_pairs output, and the meta lane's pre-dedup join
+    volume (= sum of common_keys over the weighted pairs)."""
+    from translink.blocking import (
+        volume_forecast, with_block_key, with_salt,
+    )
+    from translink.candidates import candidate_pairs
+    from translink.metablocking import shingle_block_keys
+    from translink.signatures import with_exact_digest
+
+    cfg = LinkConfig(max_block_size=16, salt_mode="rank")
+    signed = with_exact_digest(canonicalize(tiny["transcripts"], cfg))
+    blocked = with_salt(with_block_key(signed, cfg), ["block_key"], cfg)
+    f_attr = volume_forecast(
+        blocked.select("conv_id", "block_key", "salt"),
+        ["block_key", "salt"], "attribute",
+    ).first()
+    actual_attr = candidate_pairs(blocked, cfg, payload_cols=[]).count()
+    assert f_attr["join_pairs"] == actual_attr
+    assert f_attr["n_rows"] == signed.count()
+
+    keys = purge_blocks(shingle_block_keys(signed, cfg), cfg)
+    f_meta = volume_forecast(keys, ["key"], "meta_shingle").first()
+    w = meta_block_pairs(keys, cfg)
+    actual_meta = w.agg(F.sum("common_keys")).first()[0]
+    assert f_meta["join_pairs"] == actual_meta
+    assert f_meta["max_block_size"] <= cfg.meta_purge_size
+
+
 def test_hot_stopword_block_is_purged(spark, tiny):
     """A token present in more than meta_purge_size records must not
     survive purging (stop-word guard — the lane's skew bound)."""

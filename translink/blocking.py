@@ -138,6 +138,44 @@ def lsh_band_keys(signed: DataFrame, cfg: LinkConfig | None = None) -> DataFrame
     )
 
 
+def volume_forecast(
+    keys: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+    lane: str,
+) -> DataFrame:
+    """One-row candidate-volume forecast for a blocking lane: the EXACT
+    number of self-join pairs the lane will generate, computed from block
+    sizes alone — sum over blocks of C(size, 2) — without materializing a
+    single pair.
+
+    This is the pre-flight budget check for a large run: a forecast is one
+    groupBy over the key table (O(records) work), while the join it
+    predicts is O(sum size^2). Compare lanes, catch a mis-tuned
+    `length_bucket`/purge bound, or project shuffle volume (pairs x
+    payload bytes) BEFORE paying for it. All counts are exact int64
+    arithmetic, reproducible in any ANSI engine.
+
+    Output: ``(lane, n_rows, n_blocks, max_block_size, join_pairs)`` where
+    ``n_rows`` counts key-table rows, ``n_blocks`` distinct keys, and
+    ``join_pairs = sum C(size, 2)`` the lane's exact unordered pair
+    fan-out (counting a pair once per shared block it appears in — the
+    join's true row count before any pair-level dedup).
+    """
+    sizes = keys.groupBy(*key_cols).agg(F.count("*").alias("_bs"))
+    agg = sizes.agg(
+        F.coalesce(F.sum("_bs"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.coalesce(F.max("_bs"), F.lit(0)).cast("bigint")
+        .alias("max_block_size"),
+        # each C(n,2) term is integer-valued (n(n-1) is even), so the
+        # double halves and their sum are exact up to 2^53 in any order
+        F.coalesce(
+            F.sum(F.col("_bs") * (F.col("_bs") - 1) / 2), F.lit(0)
+        ).cast("bigint").alias("join_pairs"),
+    )
+    return agg.select(F.lit(lane).alias("lane"), "*")
+
+
 def oversized_blocks(
     df_with_salt: DataFrame,
     cfg: LinkConfig | None = None,
