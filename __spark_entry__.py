@@ -511,6 +511,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cnp_prune_bipartite(link_meta_pairs(ka, kb, CFG), CFG)
     q["link_meta_pairs"] = q_link_meta_pairs
 
+    def q_link_meta_matches(spark, sf_dir):
+        """Schema-free record linkage end to end: the bipartite meta graph
+        resolved to a one-to-one match set by greedy mutual-best on the
+        key-set Jaccard weight (threshold = cfg.threshold on the weight).
+        No attribute keys, no similarity scorer — co-occurrence evidence
+        alone carries the assignment."""
+        from translink.linkage import mutual_best_matches
+        from translink.metablocking import (
+            link_meta_pairs, shingle_block_keys,
+        )
+
+        canonical = _spark_canonical(spark, sf_dir)
+        is_b = (F.col("conv_id").endswith("_dup")
+                | F.col("conv_id").endswith("_nd"))
+        ka = shingle_block_keys(canonical.filter(~is_b), CFG) \
+            .localCheckpoint(eager=True)
+        kb = shingle_block_keys(canonical.filter(is_b), CFG) \
+            .localCheckpoint(eager=True)
+        w = link_meta_pairs(ka, kb, CFG).withColumnRenamed("weight", "score")
+        return mutual_best_matches(w, CFG).select(
+            "conv_id_a", "conv_id_b", "common_keys",
+            F.col("score").alias("weight"),
+        )
+    q["link_meta_matches"] = q_link_meta_matches
+
     def q_blocking_volume_forecast(spark, sf_dir):
         """Pre-flight candidate-volume budget: per twin-able blocking lane,
         the EXACT self-join pair fan-out computed from block sizes alone
@@ -1858,7 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_checked = [
         "meta_shingle_pairs", "meta_shingle_pairs_pruned", "meta_blocking_eval",
         "meta_shingle_pairs_wnp", "link_meta_pairs",
-        "blocking_volume_forecast",
+        "blocking_volume_forecast", "link_meta_matches",
         "link_fs_waterfall", "link_unlinkables",
         "cluster_graph_stats", "cluster_stability", "threshold_sweep",
         "link_fs_params", "cluster_glue_edges", "link_topk_candidates",
@@ -2052,8 +2077,7 @@ SELECT w.conv_id_a, w.conv_id_b, w.common_keys, w.weight
 FROM meta_w w JOIN wnp_keep USING (conv_id_a, conv_id_b)
 """
 
-    o["link_meta_pairs"] = f"""
-WITH {_TRANSCRIPTS_SQL},
+    _LINK_META_SQL = f"""
 lm_toks AS (
   SELECT conv_id,
          CASE WHEN ends_with(conv_id, '_dup') OR ends_with(conv_id, '_nd')
@@ -2089,7 +2113,10 @@ lm_w AS (
   ) p
   JOIN lm_nk na ON p.conv_id_a = na.conv_id AND na.side = 'a'
   JOIN lm_nk nb ON p.conv_id_b = nb.conv_id AND nb.side = 'b'
-)
+)"""
+
+    o["link_meta_pairs"] = f"""
+WITH {_TRANSCRIPTS_SQL}, {_LINK_META_SQL}
 SELECT conv_id_a, conv_id_b, common_keys, weight FROM (
   SELECT *,
          row_number() OVER (PARTITION BY conv_id_a
@@ -2098,6 +2125,19 @@ SELECT conv_id_a, conv_id_b, common_keys, weight FROM (
                             ORDER BY weight DESC, conv_id_a) AS rb
   FROM lm_w
 ) WHERE ra <= {CFG.meta_top_k} OR rb <= {CFG.meta_top_k}
+"""
+
+    o["link_meta_matches"] = f"""
+WITH {_TRANSCRIPTS_SQL}, {_LINK_META_SQL},
+lm_best_a AS (
+  SELECT conv_id_a, conv_id_b, common_keys, weight
+  FROM lm_w WHERE weight >= {CFG.threshold}
+  QUALIFY row_number() OVER (PARTITION BY conv_id_a
+                             ORDER BY weight DESC, conv_id_b) = 1
+)
+SELECT conv_id_a, conv_id_b, common_keys, weight FROM lm_best_a
+QUALIFY row_number() OVER (PARTITION BY conv_id_b
+                           ORDER BY weight DESC, conv_id_a) = 1
 """
 
     o["meta_blocking_eval"] = f"""

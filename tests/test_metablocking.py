@@ -246,6 +246,29 @@ def test_pipeline_meta_lane_keeps_f1(spark, tiny):
     assert prf["f1"] >= 0.99
 
 
+def test_link_meta_mutual_best_matches_truth(spark, tiny):
+    """Schema-free linkage end to end: bipartite meta weights resolved by
+    greedy mutual-best must assign (almost) every planted twin to its own
+    base record — co-occurrence evidence alone, no similarity scorer."""
+    from translink.linkage import mutual_best_matches
+    from translink.metablocking import link_meta_pairs, shingle_block_keys
+
+    canonical = canonicalize(tiny["transcripts"], CFG)
+    is_b = F.col("conv_id").rlike("_(dup|ndup)[0-9]+$")
+    ka = shingle_block_keys(canonical.filter(~is_b), CFG)
+    kb = shingle_block_keys(canonical.filter(is_b), CFG)
+    w = link_meta_pairs(ka, kb, CFG).withColumnRenamed("weight", "score")
+    m = mutual_best_matches(w, CFG)
+    n = m.count()
+    assert n >= 3
+    correct = m.filter(
+        F.col("conv_id_b").startswith(F.col("conv_id_a"))
+    ).count()
+    # every resolved match points at its own base record (the fixture's
+    # B ids are <base>_dupK/<base>_ndupK)
+    assert correct == n
+
+
 def test_volume_forecast_matches_actual_join(spark, tiny):
     """The forecast's defining property: sum-of-C(size,2) from block sizes
     equals the ACTUAL row counts of the joins it predicts — the attribute
