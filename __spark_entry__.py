@@ -1987,10 +1987,12 @@ meta_toks AS (
   FROM canonical
 ),
 meta_kept AS (
+  -- purge drops only OVERSIZED (stop-word) blocks; singletons pair
+  -- nothing in the join below but count in meta_nk (the JS denominator)
   SELECT conv_id, key FROM (
     SELECT conv_id, key, count(*) OVER (PARTITION BY key) AS bs
     FROM meta_toks
-  ) WHERE bs >= 2 AND bs <= {CFG.meta_purge_size}
+  ) WHERE bs <= {CFG.meta_purge_size}
 ),
 meta_nk AS (SELECT conv_id, count(*) AS nk FROM meta_kept GROUP BY 1),
 meta_w AS (
@@ -2093,9 +2095,11 @@ lm_sizes AS (
   FROM lm_toks GROUP BY 1
 ),
 lm_kept AS (
+  -- purge on the COMBINED block only; single-side keys cross-pair
+  -- nothing below but count in lm_nk (the JS denominator)
   SELECT t.conv_id, t.side, t.key
   FROM lm_toks t JOIN lm_sizes s USING (key)
-  WHERE s.na >= 1 AND s.nb >= 1 AND s.na + s.nb <= {CFG.meta_purge_size}
+  WHERE s.na + s.nb <= {CFG.meta_purge_size}
 ),
 lm_nk AS (
   SELECT side, conv_id, count(*) AS nk FROM lm_kept GROUP BY 1, 2

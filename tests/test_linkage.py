@@ -268,3 +268,43 @@ def test_run_link_pipeline_fs_model(spark, tmp_path):
     res = run_link_pipeline(spark, a, b, LinkConfig(), model="fs")
     rows = res["matches"].collect()
     assert {(r["conv_id_a"], r["conv_id_b"]) for r in rows} == {("a1", "b1")}
+
+
+def test_run_link_pipeline_meta_model(spark, tmp_path):
+    """model="meta": the schema-free bipartite meta-blocking lane under
+    the same resumable stage discipline — the exact-twin pair matches at
+    key-Jaccard weight 1.0, and a same-fingerprint rerun resumes every
+    stage."""
+    from datetime import datetime
+
+    from translink.linkage import run_link_pipeline
+
+    def turns(convs):
+        rows = []
+        for cid, text in convs.items():
+            for i in range(3):
+                rows.append((cid, i, "user", f"{text} turn {i}", None,
+                             datetime(2026, 2, 1, 0, i)))
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    a = turns({"a1": "epsilon conversation body words here",
+               "a2": "zeta completely different topic words"})
+    b = turns({"b1": "epsilon conversation body words here",
+               "b9": "unrelated chatter about nothing shared"})
+    wd = str(tmp_path / "meta_wd")
+    first = run_link_pipeline(spark, a, b, LinkConfig(), workdir=wd,
+                              input_fingerprint="v1", model="meta")
+    rows = first["matches"].collect()
+    assert {(r["conv_id_a"], r["conv_id_b"]) for r in rows} == {("a1", "b1")}
+    assert rows[0]["score"] == 1.0
+    assert rows[0]["common_keys"] >= 1
+
+    second = run_link_pipeline(spark, a, b, LinkConfig(), workdir=wd,
+                               input_fingerprint="v1", model="meta")
+    assert all(t == 0.0 for t in second["timings"].values())
+    assert {(r["conv_id_a"], r["conv_id_b"])
+            for r in second["matches"].collect()} == {("a1", "b1")}

@@ -29,8 +29,10 @@ def _keys(tiny, cfg=CFG):
 def test_purge_bounds_every_block(spark, tiny):
     sizes = _keys(tiny).groupBy("key").count()
     lo, hi = sizes.agg(F.min("count"), F.max("count")).first()
-    assert lo >= 2
     assert hi <= CFG.meta_purge_size
+    # singletons SURVIVE purging: they pair nothing but count in the JS
+    # denominator (purge_blocks docstring)
+    assert lo == 1
 
 
 def test_keys_are_distinct_per_record(spark, tiny):

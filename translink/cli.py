@@ -57,10 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="second transcripts parquet: run two-corpus record "
                         "linkage (--input is side A) instead of the dedup "
                         "pipeline; writes the match report to --output")
-    p.add_argument("--link-model", choices=["blend", "fs"], default="blend",
+    p.add_argument("--link-model", choices=["blend", "fs", "meta"],
+                   default="blend",
                    help="linkage scorer: the engine's similarity blend "
-                        "(linkage.link_tables) or the Fellegi-Sunter "
-                        "EM-fit posterior (fellegi_sunter.fs_link_tables)")
+                        "(linkage.link_tables), the Fellegi-Sunter "
+                        "EM-fit posterior (fellegi_sunter.fs_link_tables), "
+                        "or the schema-free bipartite meta-blocking weight "
+                        "(metablocking.link_meta_pairs)")
     p.add_argument("--progress", nargs="?", const=True, default=False,
                    type=float, metavar="SECONDS",
                    help="live per-stage progress lines on stderr (reference "

@@ -293,7 +293,12 @@ def run_link_pipeline(
     the Fellegi–Sunter EM posterior (ranking on the match weight; the EM
     itself is deterministic driver arithmetic over the checkpointed
     scored stage, so resume cannot change the fit); ``"blend"`` uses the
-    similarity blend and ``threshold``.
+    similarity blend and ``threshold``; ``"meta"`` scores with the
+    bipartite meta-blocking key-set Jaccard weight
+    (translink/metablocking.py — schema-free: co-occurrence evidence
+    over combined-purged shingle blocks, no pairwise text scorer; the
+    cheapest lane, and the fallback when the corpora's attribute keys
+    do not align).
 
     Returns ``{a_prep, b_prep, scored, matches, timings}``.
     """
@@ -301,7 +306,7 @@ def run_link_pipeline(
     from translink.pipeline import stage_runner
     from translink.progress import make_reporter
 
-    if model not in ("blend", "fs"):
+    if model not in ("blend", "fs", "meta"):
         raise ValueError(f"unknown link model: {model}")
     cfg = cfg or LinkConfig()
     cat = Catalog(spark, workdir) if workdir else None
@@ -313,18 +318,35 @@ def run_link_pipeline(
     with reporter:
         a_prep = _stage("link_a_prep", lambda: prep_corpus(a_turns, cfg))
         b_prep = _stage("link_b_prep", lambda: prep_corpus(b_turns, cfg))
-        scored = _stage(
-            "link_scored",
-            lambda: score_pairs(
-                link_candidate_pairs(
-                    a_prep, b_prep, cfg,
-                    payload_cols=["canon_text", "shingles", "total_chars"],
+        if model == "meta":
+            from translink.metablocking import (
+                link_meta_pairs, shingle_block_keys,
+            )
+
+            scored = _stage(
+                "link_scored",
+                lambda: link_meta_pairs(
+                    shingle_block_keys(a_prep, cfg),
+                    shingle_block_keys(b_prep, cfg),
+                    cfg,
+                ).withColumnRenamed("weight", "score"),
+            )
+        else:
+            scored = _stage(
+                "link_scored",
+                lambda: score_pairs(
+                    link_candidate_pairs(
+                        a_prep, b_prep, cfg,
+                        payload_cols=["canon_text", "shingles", "total_chars"],
+                    ),
+                    cfg,
+                    include_jaro_winkler=(model == "blend"),
                 ),
-                cfg,
-                include_jaro_winkler=(model == "blend"),
-            ),
-        )
-        if model == "fs":
+            )
+        if model == "meta":
+            ranked, thr = scored, threshold
+            keep = ["conv_id_a", "conv_id_b", "common_keys", "score"]
+        elif model == "fs":
             from translink.fellegi_sunter import (
                 comparison_vectors, fs_em_fit, fs_posterior_literal_expr,
                 fs_weight_expr, fs_weight_threshold,

@@ -113,8 +113,8 @@ def shingle_block_keys(
 
 
 def purge_blocks(keys: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
-    """Block purging: drop keys whose block size is outside
-    ``[2, cfg.meta_purge_size]``.
+    """Block purging: drop keys whose block size exceeds
+    ``cfg.meta_purge_size``.
 
     One window count over ``key`` — a single shuffle whose partitioning
     the downstream self-join on ``key`` reuses. Oversized (stop-word)
@@ -124,15 +124,22 @@ def purge_blocks(keys: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
     its sole shared block — and a pair whose only evidence is a stop-word
     was noise, not signal (Papadakis et al. 2011 measure exactly this
     trade).
+
+    Singleton blocks are deliberately KEPT: they pair nothing (the pair
+    join skips them, :func:`meta_block_pairs`), but they are part of each
+    record's block set ``B_i`` and must count in the JS weight's
+    denominator ``|B_a| + |B_b| - |B_a ∩ B_b|``. Dropping them first
+    silently conditions every node degree on "keys shared with someone",
+    and in the extreme two records sharing ONLY boilerplate keys score a
+    perfect 1.0 — caught by the linkage meta-model test, where two
+    unrelated conversations matched on their shared 'turn N <role>'
+    scaffolding alone.
     """
     cfg = cfg or LinkConfig()
     bs = F.count("*").over(Window.partitionBy("key"))
     return (
         keys.withColumn("block_size", bs)
-        .filter(
-            (F.col("block_size") >= 2)
-            & (F.col("block_size") <= cfg.meta_purge_size)
-        )
+        .filter(F.col("block_size") <= cfg.meta_purge_size)
         .drop("block_size")
     )
 
@@ -154,9 +161,19 @@ def meta_block_pairs(
     frame is two ints per record and joins sort-merge on ``conv_id``.
     """
     cfg = cfg or LinkConfig()
+    # node degrees count EVERY purged-in key, singletons included (they
+    # are real members of the record's block set — see purge_blocks)
+    nk = keys.groupBy("conv_id").agg(F.count("*").alias("nk"))
+    # ...but only keys shared by >= 2 records can pair: filter them out of
+    # the join input so singletons never ride the self-join shuffle
+    pairable = (
+        keys.withColumn("_bs", F.count("*").over(Window.partitionBy("key")))
+        .filter(F.col("_bs") >= 2)
+        .drop("_bs")
+    )
     # pin the self-join partitioning (candidate_pairs discipline: AQE sizes
     # reducer counts by input bytes and starves the fan-out of cores)
-    left = keys.repartition(cfg.shuffle_partitions, "key")
+    left = pairable.repartition(cfg.shuffle_partitions, "key")
     pairs = (
         left.alias("a")
         .hint("MERGE")
@@ -174,7 +191,6 @@ def meta_block_pairs(
         .groupBy("conv_id_a", "conv_id_b")
         .agg(F.count("*").alias("common_keys"))
     )
-    nk = keys.groupBy("conv_id").agg(F.count("*").alias("nk"))
     return (
         pairs.join(
             nk.select(F.col("conv_id").alias("conv_id_a"),
@@ -316,14 +332,22 @@ def link_meta_pairs(
         F.sum(F.when(F.col("_side") == "a", 1).otherwise(0)).alias("_na"),
         F.sum(F.when(F.col("_side") == "b", 1).otherwise(0)).alias("_nb"),
     )
-    good = sizes.filter(
-        (F.col("_na") >= 1) & (F.col("_nb") >= 1)
-        & (F.col("_na") + F.col("_nb") <= cfg.meta_purge_size)
-    ).select("key")
-    kept = tagged.join(good, "key")
+    # purge on the COMBINED block only; keys present on a single side (or
+    # singletons) pair nothing but still count in their records' block
+    # sets, i.e. in the JS denominator (see purge_blocks on why dropping
+    # them first inflates boilerplate-only pairs to weight 1.0)
+    purged = sizes.filter(
+        F.col("_na") + F.col("_nb") <= cfg.meta_purge_size
+    )
+    kept = tagged.join(purged.select("key"), "key")
     nk = kept.groupBy("_side", "conv_id").agg(F.count("*").alias("nk"))
-    left = kept.filter(F.col("_side") == "a").select("conv_id", "key")
-    right = kept.filter(F.col("_side") == "b").select("conv_id", "key")
+    pairable = kept.join(
+        purged.filter((F.col("_na") >= 1) & (F.col("_nb") >= 1))
+        .select("key"),
+        "key",
+    )
+    left = pairable.filter(F.col("_side") == "a").select("conv_id", "key")
+    right = pairable.filter(F.col("_side") == "b").select("conv_id", "key")
     pairs = (
         left.repartition(cfg.shuffle_partitions, "key").alias("a")
         .hint("MERGE")
