@@ -1743,6 +1743,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["link_eval"] = q_link_eval
 
+    # -- Same evaluation for the schema-free meta linkage lane: P/R/F1 of
+    #    the mutual-best assignment over bipartite key-Jaccard weights. --
+    def q_link_meta_eval(spark, sf_dir):
+        from translink.linkage import mutual_best_matches
+        from translink.metablocking import (
+            link_meta_pairs, shingle_block_keys,
+        )
+
+        canonical = _spark_canonical(spark, sf_dir)
+        is_b = (F.col("conv_id").endswith("_dup")
+                | F.col("conv_id").endswith("_nd"))
+        ka = shingle_block_keys(canonical.filter(~is_b), CFG) \
+            .localCheckpoint(eager=True)
+        kb = shingle_block_keys(canonical.filter(is_b), CFG) \
+            .localCheckpoint(eager=True)
+        scored = link_meta_pairs(ka, kb, CFG) \
+            .withColumnRenamed("weight", "score")
+        matches = mutual_best_matches(scored, CFG).select(
+            "conv_id_a", "conv_id_b"
+        )
+        conv = canonical.select("conv_id")
+        truth = (
+            conv.filter(F.col("conv_id").endswith("_dup")).select(
+                F.expr("substring(conv_id, 1, length(conv_id) - 4)")
+                .alias("conv_id_a"),
+                F.col("conv_id").alias("conv_id_b"),
+            )
+            .unionByName(
+                conv.filter(F.col("conv_id").endswith("_nd")).select(
+                    F.expr("substring(conv_id, 1, length(conv_id) - 3)")
+                    .alias("conv_id_a"),
+                    F.col("conv_id").alias("conv_id_b"),
+                )
+            )
+            .distinct()
+        )
+        u = matches.withColumn("in_m", F.lit(True)).join(
+            truth.withColumn("in_t", F.lit(True)),
+            ["conv_id_a", "conv_id_b"], "full_outer",
+        )
+        agg = u.agg(
+            F.sum(F.when(F.col("in_m").isNotNull(), 1).otherwise(0))
+            .alias("n_matches"),
+            F.sum(F.when(F.col("in_t").isNotNull(), 1).otherwise(0))
+            .alias("n_true"),
+            F.sum(F.when(F.col("in_m").isNotNull()
+                         & F.col("in_t").isNotNull(), 1).otherwise(0))
+            .alias("tp"),
+        )
+        tp = F.col("tp")
+        div = lambda num, den: F.when(  # noqa: E731
+            den == 0, F.lit(None).cast("double")
+        ).otherwise(num.cast("double") / den)
+        return agg.select(
+            "n_matches", "n_true", "tp",
+            div(tp, F.col("n_matches")).alias("precision"),
+            div(tp, F.col("n_true")).alias("recall"),
+            div(tp * 2, F.col("n_matches") + F.col("n_true")).alias("f1"),
+        )
+    q["link_meta_eval"] = q_link_meta_eval
+
     # -- Per-cluster evidence-graph diagnostics (over-merge audit): edge
     #    counts per evidence lane, minimum similarity edge score, and
     #    similarity-graph density for every multi-member cluster. -------
@@ -1883,7 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_checked = [
         "meta_shingle_pairs", "meta_shingle_pairs_pruned", "meta_blocking_eval",
         "meta_shingle_pairs_wnp", "link_meta_pairs",
-        "blocking_volume_forecast", "link_meta_matches",
+        "blocking_volume_forecast", "link_meta_matches", "link_meta_eval",
         "link_fs_waterfall", "link_unlinkables",
         "cluster_graph_stats", "cluster_stability", "threshold_sweep",
         "link_fs_params", "cluster_glue_edges", "link_topk_candidates",
@@ -2142,6 +2203,48 @@ lm_best_a AS (
 SELECT conv_id_a, conv_id_b, common_keys, weight FROM lm_best_a
 QUALIFY row_number() OVER (PARTITION BY conv_id_b
                            ORDER BY weight DESC, conv_id_a) = 1
+"""
+
+    o["link_meta_eval"] = f"""
+WITH {_TRANSCRIPTS_SQL}, {_LINK_META_SQL},
+lme_best_a AS (
+  SELECT conv_id_a, conv_id_b, weight
+  FROM lm_w WHERE weight >= {CFG.threshold}
+  QUALIFY row_number() OVER (PARTITION BY conv_id_a
+                             ORDER BY weight DESC, conv_id_b) = 1
+),
+lme_m AS (
+  SELECT conv_id_a, conv_id_b FROM lme_best_a
+  QUALIFY row_number() OVER (PARTITION BY conv_id_b
+                             ORDER BY weight DESC, conv_id_a) = 1
+),
+lme_truth AS (
+  SELECT DISTINCT substr(conv_id, 1, length(conv_id) - 4) AS conv_id_a,
+                  conv_id AS conv_id_b
+  FROM canonical WHERE ends_with(conv_id, '_dup')
+  UNION
+  SELECT DISTINCT substr(conv_id, 1, length(conv_id) - 3), conv_id
+  FROM canonical WHERE ends_with(conv_id, '_nd')
+),
+lme_u AS (
+  SELECT m.conv_id_a IS NOT NULL AS in_m, t.conv_id_a IS NOT NULL AS in_t
+  FROM lme_m m FULL OUTER JOIN lme_truth t
+    ON m.conv_id_a = t.conv_id_a AND m.conv_id_b = t.conv_id_b
+),
+lme_agg AS (
+  SELECT CAST(sum(CASE WHEN in_m THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+         CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         CAST(sum(CASE WHEN in_m AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM lme_u
+)
+SELECT n_matches, n_true, tp,
+       CASE WHEN n_matches = 0 THEN NULL
+            ELSE CAST(tp AS DOUBLE) / n_matches END AS "precision",
+       CASE WHEN n_true = 0 THEN NULL
+            ELSE CAST(tp AS DOUBLE) / n_true END AS recall,
+       CASE WHEN n_matches + n_true = 0 THEN NULL
+            ELSE CAST(2 * tp AS DOUBLE) / (n_matches + n_true) END AS f1
+FROM lme_agg
 """
 
     o["meta_blocking_eval"] = f"""
