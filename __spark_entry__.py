@@ -842,6 +842,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return doc_exact_dup_clusters(_docs(spark, sf_dir))
     q["doc_exact_dupes"] = q_doc_exact
 
+    # -- Meta-blocking near-dup lane on the DOCUMENT corpus: the same
+    #    purge -> weight -> CNP stack, id/text-generic (bigint doc ids). --
+    def q_doc_meta_dedup_pairs(spark, sf_dir):
+        from translink.metablocking import (
+            cnp_prune, meta_block_pairs, purge_blocks, shingle_block_keys,
+        )
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.coalesce("text", F.lit("")).alias("text")
+        )
+        keys = purge_blocks(
+            shingle_block_keys(docs, CFG, text_col="text", id_col="doc_id"),
+            CFG,
+        ).localCheckpoint(eager=True)
+        return cnp_prune(meta_block_pairs(keys, CFG), CFG).select(
+            F.col("conv_id_a").alias("doc_id_a"),
+            F.col("conv_id_b").alias("doc_id_b"),
+            "common_keys", "weight",
+        )
+    q["doc_meta_dedup_pairs"] = q_doc_meta_dedup_pairs
+
     # -- q13: blocked shingle-Jaccard near-dup pairs ----------------------
     def q_doc_jaccard(spark, sf_dir):
         from translink.textops import doc_jaccard_pairs
@@ -1945,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_shingle_pairs", "meta_shingle_pairs_pruned", "meta_blocking_eval",
         "meta_shingle_pairs_wnp", "link_meta_pairs",
         "blocking_volume_forecast", "link_meta_matches", "link_meta_eval",
+        "doc_meta_dedup_pairs",
         "link_fs_waterfall", "link_unlinkables",
         "cluster_graph_stats", "cluster_stability", "threshold_sweep",
         "link_fs_params", "cluster_glue_edges", "link_topk_candidates",
@@ -2518,6 +2540,53 @@ docs_planted AS (
   SELECT doc_id + 1000000, text, lang, source, n_chars
   FROM documents WHERE doc_id % 50 = 0
 )
+"""
+
+    o["doc_meta_dedup_pairs"] = f"""
+WITH {docs_cte},
+dm_toks AS (
+  SELECT doc_id,
+         unnest({_shingles_sql(
+             f"substr(coalesce(text, ''), 1, {CFG.meta_text_cap})",
+             CFG.shingle_size)}) AS key
+  FROM docs_planted
+),
+dm_kept AS (
+  SELECT doc_id, key FROM (
+    SELECT doc_id, key, count(*) OVER (PARTITION BY key) AS bs FROM dm_toks
+  ) WHERE bs <= {CFG.meta_purge_size}
+),
+dm_nk AS (SELECT doc_id, count(*) AS nk FROM dm_kept GROUP BY 1),
+dm_w AS (
+  SELECT p.doc_id_a, p.doc_id_b, p.common_keys,
+         CAST(p.common_keys AS DOUBLE) / (na.nk + nb.nk - p.common_keys)
+           AS weight
+  FROM (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(count(*) AS BIGINT) AS common_keys
+    FROM dm_kept a JOIN dm_kept b
+      ON a.key = b.key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p
+  JOIN dm_nk na ON p.doc_id_a = na.doc_id
+  JOIN dm_nk nb ON p.doc_id_b = nb.doc_id
+),
+dm_directed AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst, weight FROM dm_w
+  UNION ALL
+  SELECT doc_id_b, doc_id_a, weight FROM dm_w
+),
+dm_keep AS (
+  SELECT DISTINCT least(src, dst) AS doc_id_a,
+                  greatest(src, dst) AS doc_id_b
+  FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src
+             ORDER BY weight DESC, dst) AS rk
+    FROM dm_directed
+  ) WHERE rk <= {CFG.meta_top_k}
+)
+SELECT w.doc_id_a, w.doc_id_b, w.common_keys, w.weight
+FROM dm_w w JOIN dm_keep USING (doc_id_a, doc_id_b)
 """
 
     o["doc_exact_dupes"] = f"""
