@@ -459,8 +459,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the purged key table feeds the self-join (twice) and the per-node
         # counts — checkpoint it once so the canonicalize/explode lineage
         # runs a single time (q_cluster_graph_stats discipline)
+        from translink.metablocking import filter_blocks
+
         keys = purge_blocks(
-            shingle_block_keys(_spark_canonical(spark, sf_dir), CFG), CFG
+            filter_blocks(
+                shingle_block_keys(_spark_canonical(spark, sf_dir), CFG), CFG
+            ),
+            CFG,
         ).localCheckpoint(eager=True)
         return meta_block_pairs(keys, CFG)
 
@@ -543,14 +548,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         LSH lane's buckets hash with xxhash64 and have no ANSI twin; its
         skew surfaces via blocking.oversized_blocks instead."""
         from translink.blocking import volume_forecast
-        from translink.metablocking import purge_blocks, shingle_block_keys
+        from translink.metablocking import (
+            filter_blocks, purge_blocks, shingle_block_keys,
+        )
 
         attr = volume_forecast(
             _spark_salted(spark, sf_dir).select("conv_id", "block_key", "salt"),
             ["block_key", "salt"], "attribute",
         )
         keys = purge_blocks(
-            shingle_block_keys(_spark_canonical(spark, sf_dir), CFG), CFG
+            filter_blocks(
+                shingle_block_keys(_spark_canonical(spark, sf_dir), CFG), CFG
+            ),
+            CFG,
         )
         meta = volume_forecast(keys, ["key"], "meta_shingle")
         return attr.unionByName(meta)
@@ -846,14 +856,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #    purge -> weight -> CNP stack, id/text-generic (bigint doc ids). --
     def q_doc_meta_dedup_pairs(spark, sf_dir):
         from translink.metablocking import (
-            cnp_prune, meta_block_pairs, purge_blocks, shingle_block_keys,
+            cnp_prune, filter_blocks, meta_block_pairs, purge_blocks,
+            shingle_block_keys,
         )
 
         docs = _docs(spark, sf_dir).select(
             "doc_id", F.coalesce("text", F.lit("")).alias("text")
         )
         keys = purge_blocks(
-            shingle_block_keys(docs, CFG, text_col="text", id_col="doc_id"),
+            filter_blocks(
+                shingle_block_keys(docs, CFG, text_col="text",
+                                   id_col="doc_id"),
+                CFG,
+            ),
             CFG,
         ).localCheckpoint(eager=True)
         return cnp_prune(meta_block_pairs(keys, CFG), CFG).select(
@@ -2069,12 +2084,25 @@ meta_toks AS (
                                CFG.shingle_size)}) AS key
   FROM canonical
 ),
+meta_filt AS (
+  -- block FILTERING first, on raw block sizes: per record keep the
+  -- {CFG.meta_keys_per_record} most selective keys (smallest block,
+  -- then key) — the scale-invariant recall guard
+  SELECT conv_id, key FROM (
+    SELECT conv_id, key,
+           row_number() OVER (PARTITION BY conv_id ORDER BY bs, key) AS rk
+    FROM (
+      SELECT conv_id, key, count(*) OVER (PARTITION BY key) AS bs
+      FROM meta_toks
+    )
+  ) WHERE rk <= {CFG.meta_keys_per_record}
+),
 meta_kept AS (
-  -- purge drops only OVERSIZED (stop-word) blocks; singletons pair
+  -- hard fan-out guard on the POST-FILTER blocks; singletons pair
   -- nothing in the join below but count in meta_nk (the JS denominator)
   SELECT conv_id, key FROM (
     SELECT conv_id, key, count(*) OVER (PARTITION BY key) AS bs
-    FROM meta_toks
+    FROM meta_filt
   ) WHERE bs <= {CFG.meta_purge_size}
 ),
 meta_nk AS (SELECT conv_id, count(*) AS nk FROM meta_kept GROUP BY 1),
@@ -2171,18 +2199,26 @@ lm_toks AS (
                                CFG.shingle_size)}) AS key
   FROM canonical
 ),
-lm_sizes AS (
-  SELECT key,
-         sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS na,
-         sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS nb
-  FROM lm_toks GROUP BY 1
+lm_filt AS (
+  -- block FILTERING first, per (side, record), on the raw COMBINED
+  -- block sizes (filter-then-purge; see the unipartite twin)
+  SELECT conv_id, side, key FROM (
+    SELECT conv_id, side, key,
+           row_number() OVER (PARTITION BY side, conv_id
+                              ORDER BY bs, key) AS rk
+    FROM (
+      SELECT conv_id, side, key, count(*) OVER (PARTITION BY key) AS bs
+      FROM lm_toks
+    )
+  ) WHERE rk <= {CFG.meta_keys_per_record}
 ),
 lm_kept AS (
-  -- purge on the COMBINED block only; single-side keys cross-pair
-  -- nothing below but count in lm_nk (the JS denominator)
-  SELECT t.conv_id, t.side, t.key
-  FROM lm_toks t JOIN lm_sizes s USING (key)
-  WHERE s.na + s.nb <= {CFG.meta_purge_size}
+  -- hard fan-out guard on the POST-FILTER combined blocks; single-side
+  -- keys cross-pair nothing below but count in lm_nk (the denominator)
+  SELECT conv_id, side, key FROM (
+    SELECT conv_id, side, key, count(*) OVER (PARTITION BY key) AS bs
+    FROM lm_filt
+  ) WHERE bs <= {CFG.meta_purge_size}
 ),
 lm_nk AS (
   SELECT side, conv_id, count(*) AS nk FROM lm_kept GROUP BY 1, 2
@@ -2551,9 +2587,20 @@ dm_toks AS (
              CFG.shingle_size)}) AS key
   FROM docs_planted
 ),
+dm_filt AS (
+  SELECT doc_id, key FROM (
+    SELECT doc_id, key,
+           row_number() OVER (PARTITION BY doc_id ORDER BY bs, key) AS rk
+    FROM (
+      SELECT doc_id, key, count(*) OVER (PARTITION BY key) AS bs
+      FROM dm_toks
+    )
+  ) WHERE rk <= {CFG.meta_keys_per_record}
+),
 dm_kept AS (
   SELECT doc_id, key FROM (
-    SELECT doc_id, key, count(*) OVER (PARTITION BY key) AS bs FROM dm_toks
+    SELECT doc_id, key, count(*) OVER (PARTITION BY key) AS bs
+    FROM dm_filt
   ) WHERE bs <= {CFG.meta_purge_size}
 ),
 dm_nk AS (SELECT doc_id, count(*) AS nk FROM dm_kept GROUP BY 1),

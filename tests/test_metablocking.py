@@ -302,6 +302,40 @@ def test_volume_forecast_matches_actual_join(spark, tiny):
     assert f_meta["max_block_size"] <= cfg.meta_purge_size
 
 
+def test_filter_blocks_keeps_most_selective_keys(spark):
+    """Block filtering on a constructed mixed-selectivity corpus: a long
+    record keeps exactly its r smallest-block keys, identical twins keep
+    identical selections (weight stays 1.0), and a hot key shared by all
+    records is the first thing shed."""
+    from translink.metablocking import filter_blocks, meta_block_pairs
+
+    cfg = LinkConfig(meta_keys_per_record=4)
+    rows = []
+    # 10 background records all share hot keys h0..h5; each also has two
+    # private keys p{i}a/p{i}b (block size 1)
+    for i in range(10):
+        for k in [f"h{j}" for j in range(6)] + [f"p{i}a", f"p{i}b"]:
+            rows.append((f"r{i:02d}", k))
+    # a twin pair shares six keys: two rare (block 2) + four hot
+    for cid in ("x1", "x2"):
+        for k in ["h0", "h1", "h2", "h3", "rare1", "rare2"]:
+            rows.append((cid, k))
+    keys = spark.createDataFrame(rows, "conv_id string, key string")
+    filt = filter_blocks(keys, cfg)
+    counts = {r["conv_id"]: r["count"]
+              for r in filt.groupBy("conv_id").count().collect()}
+    assert all(c == 4 for c in counts.values())
+    x1 = {r["key"] for r in filt.filter("conv_id = 'x1'").collect()}
+    x2 = {r["key"] for r in filt.filter("conv_id = 'x2'").collect()}
+    # identical records select identically; rare keys in, hot keys mostly out
+    assert x1 == x2
+    assert {"rare1", "rare2"} <= x1
+    w = meta_block_pairs(filt, cfg)
+    tw = w.filter((F.col("conv_id_a") == "x1") & (F.col("conv_id_b") == "x2"))
+    assert tw.count() == 1
+    assert tw.first()["weight"] == 1.0
+
+
 def test_hot_stopword_block_is_purged(spark, tiny):
     """A token present in more than meta_purge_size records must not
     survive purging (stop-word guard — the lane's skew bound)."""

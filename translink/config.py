@@ -61,6 +61,18 @@ class LinkConfig:
     # wholesale (stop-word blocks — quadratic cost, near-zero evidence);
     # this purge IS the token lane's skew bound (no salt needed)
     meta_purge_size: int = 64
+    # block FILTERING (Papadakis et al., EDBT 2016): per record keep only
+    # its r most-selective keys (smallest blocks first). Bounds the key
+    # table to O(records x r) and keeps each record's best evidence when
+    # records carry MANY keys of mixed selectivity (binds on the document
+    # corpus). It cannot conjure selectivity that does not exist: on a
+    # saturated-vocabulary corpus where EVERY shingle is hot (the sf0.1
+    # synthetic transcripts: ~27 keys/record, median block 304) the lane
+    # has no rare keys to keep and twin recall collapses — that regime is
+    # detected cheaply by blocking_volume_forecast (kept rows collapse)
+    # + meta_blocking_eval, and is the MinHash-LSH lane's home turf (it
+    # estimates FULL-set Jaccard without needing any rare key).
+    meta_keys_per_record: int = 32
     # CNP pruning: per node keep its top-k weighted neighbors (union rule)
     meta_top_k: int = 10
     # opt-in third candidate lane of run_pipeline: CNP-pruned shingle
@@ -137,6 +149,8 @@ class LinkConfig:
             raise ValueError(
                 "meta_text_cap >= 1, meta_purge_size >= 2, meta_top_k >= 1"
             )
+        if self.meta_keys_per_record < 1:
+            raise ValueError("meta_keys_per_record must be >= 1")
         return self
 
     #: Engine schema/semantics version — bump whenever a stage's output

@@ -134,6 +134,15 @@ def purge_blocks(keys: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
     perfect 1.0 — caught by the linkage meta-model test, where two
     unrelated conversations matched on their shared 'turn N <role>'
     scaffolding alone.
+
+    Run AFTER :func:`filter_blocks`, not before: the purge is the hard
+    per-key fan-out guard over the post-filter block sizes. Purge-first
+    would delete a long record's entire key set before filtering could
+    choose among it; filter-first lets the record keep its r most
+    selective keys and only then bounds what remains. (Neither order
+    helps a saturated-vocabulary corpus with no selective keys at all —
+    see :func:`filter_blocks` on detecting that regime and routing it to
+    the MinHash-LSH lane.)
     """
     cfg = cfg or LinkConfig()
     bs = F.count("*").over(Window.partitionBy("key"))
@@ -141,6 +150,57 @@ def purge_blocks(keys: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
         keys.withColumn("block_size", bs)
         .filter(F.col("block_size") <= cfg.meta_purge_size)
         .drop("block_size")
+    )
+
+
+def filter_blocks(
+    keys: DataFrame,
+    cfg: LinkConfig | None = None,
+    id_cols: list[str] | tuple[str, ...] = ("conv_id",),
+) -> DataFrame:
+    """Block filtering (Papadakis, Papastefanatos, Palpanas & Koubarakis,
+    EDBT 2016): per record, keep only its ``meta_keys_per_record`` MOST
+    SELECTIVE keys — smallest blocks first, key string as the total-order
+    tiebreak.
+
+    Filtering ranks each record's own keys by selectivity and keeps a
+    fixed number: identical records keep identical selections (the rank
+    depends only on (block size, key)), so true duplicates retain their
+    shared rare keys while the hot keys that would dominate the join are
+    the ones each record sheds first. Per-record key count is bounded by
+    ``r``, making the key table O(records × r) at any corpus size. It
+    binds when records carry MANY keys of mixed selectivity (long
+    documents); it is vacuous for short records (fewer than ``r`` keys),
+    and it cannot conjure selectivity that does not exist — on a
+    saturated-vocabulary corpus where every key is hot (the sf0.1
+    synthetic transcripts: ~27 shingles/record, median block 304 and the
+    purge bound below it), twin recall collapses REGARDLESS of ordering,
+    because there is no rare shared key to keep. That regime is the
+    MinHash-LSH lane's home turf (full-set Jaccard needs no rare key);
+    detect it cheaply with ``blocking.volume_forecast`` (kept rows
+    collapse) and ``meta_blocking_eval`` before paying for either.
+
+    Run on the RAW key table, BEFORE :func:`purge_blocks`: ranks must see
+    the raw block sizes, because on a corpus whose every block exceeds
+    the purge bound a purge-first composition deletes all of a record's
+    keys before filtering can choose among them (that is precisely the
+    recall collapse this function exists to stop — filtering-then-purging
+    keeps each record's least-bad keys, and the purge bound applied to
+    the POST-FILTER block sizes almost never binds, because a block only
+    retains the records for which it ranked top-r). Node degrees count
+    the final kept set. Two window passes: block size over ``key``, rank
+    over the record id.
+    """
+    cfg = cfg or LinkConfig()
+    bs = F.count("*").over(Window.partitionBy("key"))
+    rk = F.row_number().over(
+        Window.partitionBy(*id_cols).orderBy(F.col("_bs").asc(), F.col("key"))
+    )
+    return (
+        keys.withColumn("_bs", bs)
+        .withColumn("_rk", rk)
+        .filter(F.col("_rk") <= cfg.meta_keys_per_record)
+        .drop("_bs", "_rk")
     )
 
 
@@ -328,26 +388,33 @@ def link_meta_pairs(
     tagged = keys_a.withColumn("_side", F.lit("a")).unionByName(
         keys_b.withColumn("_side", F.lit("b"))
     )
-    sizes = tagged.groupBy("key").agg(
-        F.sum(F.when(F.col("_side") == "a", 1).otherwise(0)).alias("_na"),
-        F.sum(F.when(F.col("_side") == "b", 1).otherwise(0)).alias("_nb"),
+    # block filtering FIRST, on the raw COMBINED block sizes, per (side,
+    # record): each record keeps its most selective keys; identical
+    # cross-corpus twins select identically (see filter_blocks on why
+    # filter-then-purge, not the reverse)
+    bs = F.count("*").over(Window.partitionBy("key"))
+    rk = F.row_number().over(
+        Window.partitionBy("_side", "conv_id")
+        .orderBy(F.col("_bs").asc(), F.col("key"))
     )
-    # purge on the COMBINED block only; keys present on a single side (or
-    # singletons) pair nothing but still count in their records' block
-    # sets, i.e. in the JS denominator (see purge_blocks on why dropping
-    # them first inflates boilerplate-only pairs to weight 1.0)
-    purged = sizes.filter(
-        F.col("_na") + F.col("_nb") <= cfg.meta_purge_size
+    filt = (
+        tagged.withColumn("_bs", bs)
+        .withColumn("_rk", rk)
+        .filter(F.col("_rk") <= cfg.meta_keys_per_record)
+        .drop("_bs", "_rk")
     )
-    kept = tagged.join(purged.select("key"), "key")
+    # hard fan-out guard on the POST-FILTER combined blocks; single-side
+    # keys and singletons cross-pair nothing below but still count in
+    # lm_nk (the JS denominator)
+    bs2 = F.count("*").over(Window.partitionBy("key"))
+    kept = (
+        filt.withColumn("_bs2", bs2)
+        .filter(F.col("_bs2") <= cfg.meta_purge_size)
+        .drop("_bs2")
+    )
     nk = kept.groupBy("_side", "conv_id").agg(F.count("*").alias("nk"))
-    pairable = kept.join(
-        purged.filter((F.col("_na") >= 1) & (F.col("_nb") >= 1))
-        .select("key"),
-        "key",
-    )
-    left = pairable.filter(F.col("_side") == "a").select("conv_id", "key")
-    right = pairable.filter(F.col("_side") == "b").select("conv_id", "key")
+    left = kept.filter(F.col("_side") == "a").select("conv_id", "key")
+    right = kept.filter(F.col("_side") == "b").select("conv_id", "key")
     pairs = (
         left.repartition(cfg.shuffle_partitions, "key").alias("a")
         .hint("MERGE")

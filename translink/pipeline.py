@@ -159,10 +159,13 @@ def _run_stages(transcripts, cfg, _stage, timings, cat) -> dict:
             # digest into the union; payloads join downstream like every
             # other lane's survivors.
             from translink.metablocking import (
-                cnp_prune, meta_block_pairs, purge_blocks, shingle_block_keys,
+                cnp_prune, filter_blocks, meta_block_pairs, purge_blocks,
+                shingle_block_keys,
             )
 
-            keys = purge_blocks(shingle_block_keys(signed, cfg), cfg)
+            keys = purge_blocks(
+                filter_blocks(shingle_block_keys(signed, cfg), cfg), cfg
+            )
             meta = cnp_prune(meta_block_pairs(keys, cfg), cfg)
             dig = signed.select("conv_id", "digest")
             meta_pairs = (
