@@ -129,10 +129,20 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)  # 'transfer' etc. contain 'sf'
     sf = float(m.group(1)) if m else -1.0
-    try:
-        membw = _membw_probe()  # before the JVM: quiet machine, clean fork
-    except Exception:
-        membw = -1.0
+    def probe() -> float:
+        try:
+            return _membw_probe()
+        except Exception:
+            return -1.0
+
+    # BRACKETED weather stamps: this host's DRAM bandwidth swings 10-100x
+    # within hours (BENCH/MEMBW_*.json series), so a single pre-run stamp
+    # cannot certify a multi-minute run — r4 shipped a 24.5 GB/s pre-JVM
+    # stamp while every same-day probe read 0.1-2.7. Probe before the JVM,
+    # once mid-suite (between the pipeline-family group and the per-query
+    # tail), and after; bench_table.py refuses cross-round comparisons
+    # whose brackets disagree.
+    membw_pre = probe()  # before the JVM: quiet machine, clean fork
     spark = get_spark(
         master=f"local[{cpus}]",
         shuffle_partitions=max(32, 2 * cpus),
@@ -141,12 +151,20 @@ def main() -> None:
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name in BENCH_QUERIES:
+    membw_mid = -1.0
+    mid_at = len(BENCH_QUERIES) // 2
+    for i, name in enumerate(BENCH_QUERIES):
+        if i == mid_at:
+            membw_mid = probe()  # JVM idle between queries; fork is of
+            # the Python driver only, the heap stays out of the children
         t0 = time.time()
         n, _ = materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
         rows[name] = n
+    membw_post = probe()
     total = round(sum(timings.values()), 3)
+    stamps = [s for s in (membw_pre, membw_mid, membw_post) if s > 0]
+    spread = round(max(stamps) / min(stamps), 2) if stamps else -1.0
     result = {
         "metric": "translink_headline_total",
         "value": total,
@@ -155,8 +173,16 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         # day-of-run DRAM ceiling (GB/s aggregate, 8 pinned workers);
-        # healthy ~2.6, degraded days ~0.5-0.9 — see BENCH/BASELINE.md
-        "membw_8w_gbps": membw,
+        # healthy ~2.6, degraded days ~0.5-0.9 — see BENCH/BASELINE.md.
+        # Kept as the pre-run stamp for round-over-round compatibility;
+        # the full bracket lives in membw_stamps.
+        "membw_8w_gbps": membw_pre,
+        "membw_stamps": {
+            "pre": membw_pre, "mid": membw_mid, "post": membw_post,
+        },
+        # max/min ratio across the bracket — >2 means the weather moved
+        # DURING the run and per-query walls are not comparable across runs
+        "membw_spread": spread,
     }
     # Durable machine-readable copy FIRST (BENCH_r03.json came back with
     # "parsed": null because the driver's stdout tail-capture truncated the

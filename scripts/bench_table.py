@@ -78,6 +78,41 @@ def main() -> None:
     totals = [f"{rounds[c].get('value', float('nan')):.1f}" for c in cols]
     print("| **total** | " + " | ".join(totals) + " |")
 
+    # Weather-stamp row + comparability verdicts: a column pair whose DRAM
+    # bracket stamps disagree by >2x measured different machines in effect
+    # (host-weather memory discipline) — per-query deltas between them are
+    # NOT evidence of a code regression. Runs bracketed (membw_stamps) use
+    # their min stamp, the conservative ceiling the run actually saw.
+    def stamp(d: dict) -> float | None:
+        br = d.get("membw_stamps")
+        if isinstance(br, dict):
+            vals = [v for v in br.values() if isinstance(v, (int, float)) and v > 0]
+            if vals:
+                return min(vals)
+        v = d.get("membw_8w_gbps")
+        return v if isinstance(v, (int, float)) and v > 0 else None
+
+    stamps = {c: stamp(rounds[c]) for c in cols}
+    cells = [f"{stamps[c]:.2f}" if stamps[c] else "—" for c in cols]
+    print("| _membw GB/s_ | " + " | ".join(cells) + " |")
+    spreads = [
+        f"{rounds[c]['membw_spread']:.2f}"
+        if isinstance(rounds[c].get("membw_spread"), (int, float))
+        and rounds[c]["membw_spread"] > 0 else "—"
+        for c in cols
+    ]
+    print("| _bracket spread_ | " + " | ".join(spreads) + " |")
+    bad = [
+        (a, b)
+        for i, a in enumerate(cols) for b in cols[i + 1:]
+        if stamps[a] and stamps[b]
+        and max(stamps[a], stamps[b]) / min(stamps[a], stamps[b]) > 2.0
+    ]
+    for a, b in bad:
+        print(f"\n> NOT COMPARABLE: {a} ({stamps[a]:.2f} GB/s) vs {b} "
+              f"({stamps[b]:.2f} GB/s) — bracket stamps differ >2x; "
+              f"per-query deltas reflect host weather, not code.")
+
 
 if __name__ == "__main__":
     main()

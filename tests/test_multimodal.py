@@ -263,8 +263,87 @@ def test_real_decode_rejects_non_png(spark):
 
     from translink.multimodal import decode_image_batch
 
+    # jpeg: a real container with no codec here -> out-of-scope
     with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"\xff\xd8\xff\xe0..."]), fake=False)
+    # gif now has a real codec: a truncated one is MALFORMED, not
+    # out-of-scope (corrupt-vs-unsupported taxonomy)
+    with pytest.raises(ValueError):
         decode_image_batch(pd.Series([b"GIF89a..."]), fake=False)
+
+
+# ---------------------------------------------------------------------------
+# Real GIF codec (pure-stdlib LZW decode_gif/encode_gif)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_round_trip_plain_and_interlaced():
+    import numpy as np
+
+    from translink.multimodal import decode_gif, encode_gif, sniff_magic
+
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (3, 5), (24, 24), (17, 31)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for interlace in (False, True):
+            p = encode_gif(img, interlace=interlace)
+            assert sniff_magic(p) == "gif"
+            out = decode_gif(p)
+            assert out.shape == (*shape, 3)
+            for ch in range(3):  # grayscale palette: every channel == index
+                assert (out[..., ch] == img).all(), (shape, interlace)
+
+
+def test_gif_lzw_clear_at_12bit_cap():
+    """A stream long enough that the literal-code encoder must emit CLEAR
+    at the 12-bit width cap — pins the variable-width growth logic on both
+    sides."""
+    import numpy as np
+
+    from translink.multimodal import decode_gif, encode_gif
+
+    img = np.random.default_rng(11).integers(
+        0, 256, size=(80, 80), dtype=np.uint8
+    )
+    out = decode_gif(encode_gif(img))
+    assert (out[..., 0] == img).all()
+
+
+def test_gif_malformed_taxonomy():
+    import numpy as np
+    import pytest
+
+    from translink.multimodal import decode_gif, encode_gif
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = encode_gif(img)
+    for bad in (
+        b"NOTGIF" + b"\x00" * 20,   # bad signature
+        b"GIF89a" + b"\x00" * 5,    # truncated header
+        good[:-30],                  # truncated LZW stream / missing trailer
+        good[:13] + b"\x3b",         # trailer before any image
+    ):
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+
+
+def test_extract_features_real_gif_distributed(spark):
+    import numpy as np
+
+    from translink.multimodal import ASSET_SCHEMA, encode_gif, extract_features
+
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+            for _ in range(3)]
+    rows = [(i, "image", encode_gif(im), "src") for i, im in enumerate(imgs)]
+    rows.append((3, "image", encode_gif(imgs[0]), "dup"))  # exact dup of 0
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(2)
+    feats = {r["asset_id"]: r
+             for r in extract_features(assets, fake_decode=False).collect()}
+    assert all(r["magic"] == "gif" and r["width"] == 16 and r["height"] == 16
+               for r in feats.values())
+    assert feats[0]["feature_hash"] == feats[3]["feature_hash"]
+    assert feats[0]["feature_hash"] != feats[1]["feature_hash"]
 
 
 # ---------------------------------------------------------------------------

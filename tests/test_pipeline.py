@@ -134,3 +134,69 @@ def test_non_latin_conversations_do_not_falsely_merge(spark):
     got = {r["conv_id"]: r["cluster_id"] for r in res["clusters"].collect()}
     assert got["zh1"] == got["zh3"]      # byte-identical: merged
     assert got["zh1"] != got["zh2"]      # unrelated: NOT merged
+
+
+def test_pair_budget_trips_before_pair_generation(spark):
+    """Pre-flight backpressure (reference bounded-channel analog,
+    src/main.rs:141-146): a planted hot attribute block must raise
+    PairBudgetExceeded from the O(records) forecast — carrying the
+    offending lane's exact fan-out — without the O(pairs) self-join ever
+    running."""
+    import datetime as dt
+
+    import pytest
+
+    from translink.blocking import PairBudgetExceeded
+
+    t0 = dt.datetime(2026, 1, 1)
+    # one hot block: 150 single-turn conversations of identical length
+    # (same n_turns, same length bucket -> one attribute block)
+    rows = [
+        (f"conv{i:04d}", 0, "user", f"the quick brown fox {i:04d}", None, t0)
+        for i in range(150)
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    cfg = LinkConfig(pair_budget=10)
+    with pytest.raises(PairBudgetExceeded) as exc:
+        run_pipeline(spark, t, cfg)
+    assert exc.value.budget == 10
+    # the exception carries the forecast rows: lane name + exact fan-out
+    lanes = {d["lane"] for d in exc.value.over}
+    assert lanes, exc.value.over
+    assert all(d["join_pairs"] > 10 for d in exc.value.over)
+
+
+def test_pair_budget_forecast_matches_actual_attr_fanout(spark, tiny):
+    """The attr-lane forecast is the EXACT self-join row count (each
+    record holds one (block_key, salt) key, so multiplicity is 1)."""
+    from translink.blocking import volume_forecast, with_block_key, with_salt
+    from translink.candidates import candidate_pairs
+    from translink.canonicalize import canonicalize
+    from translink.signatures import with_exact_digest
+
+    signed = with_exact_digest(canonicalize(tiny["transcripts"], CFG))
+    blocked = with_salt(
+        with_block_key(signed, CFG), ["block_key"], CFG,
+        order_cols=["canon_text"],
+    ).localCheckpoint(eager=True)
+    forecast = volume_forecast(
+        blocked, ["block_key", "salt"], "attr"
+    ).first()["join_pairs"]
+    actual = candidate_pairs(blocked, CFG, payload_cols=[]).count()
+    assert forecast == actual
+
+
+def test_pair_budget_generous_budget_passes(spark, tiny):
+    """A budget above the corpus's true fan-out must not alter the
+    pipeline's output (the forecast is a guard, not a transformation)."""
+    res = run_pipeline(
+        spark, tiny["transcripts"], LinkConfig(pair_budget=10_000_000)
+    )
+    base = run_pipeline(spark, tiny["transcripts"], CFG)
+    got = {r["conv_id"]: r["cluster_id"] for r in res["clusters"].collect()}
+    want = {r["conv_id"]: r["cluster_id"] for r in base["clusters"].collect()}
+    assert got == want

@@ -176,6 +176,50 @@ def volume_forecast(
     return agg.select(F.lit(lane).alias("lane"), "*")
 
 
+class PairBudgetExceeded(RuntimeError):
+    """A blocking lane's forecast candidate fan-out exceeds the configured
+    ``cfg.pair_budget`` — raised BEFORE the self-join that would generate
+    the pairs runs (the reference's bounded-channel backpressure,
+    ``src/main.rs:141-146``, applied to shuffle volume instead of channel
+    depth). Carries the offending forecasts for programmatic handling."""
+
+    def __init__(self, over: list[dict], budget: int):
+        self.over = over
+        self.budget = budget
+        lanes = "; ".join(
+            f"{d['lane']}: {d['join_pairs']:,} pairs "
+            f"(max block {d['max_block_size']})"
+            for d in over
+        )
+        super().__init__(
+            f"pair budget {budget:,} exceeded before pair generation — "
+            f"{lanes}. Lower max_block_size / meta_purge_size, raise the "
+            f"lane's selectivity (length_bucket, lsh_bands), or raise "
+            f"pair_budget."
+        )
+
+
+def enforce_pair_budget(
+    forecasts: list[DataFrame], budget: int
+) -> list[dict]:
+    """Run the pre-flight: union the one-row lane forecasts, collect them
+    (bounded: one row per lane), and raise :class:`PairBudgetExceeded` if
+    any lane's exact ``join_pairs`` fan-out exceeds ``budget``.
+
+    Returns the forecast rows (as dicts) so callers can log them. The
+    collect is O(lanes) rows from O(records) aggregations — the whole point
+    is paying this before the O(pairs) join.
+    """
+    df = forecasts[0]
+    for f in forecasts[1:]:
+        df = df.unionByName(f)
+    rows = [r.asDict() for r in df.collect()]
+    over = [r for r in rows if r["join_pairs"] > budget]
+    if over:
+        raise PairBudgetExceeded(over, budget)
+    return rows
+
+
 def oversized_blocks(
     df_with_salt: DataFrame,
     cfg: LinkConfig | None = None,

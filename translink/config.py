@@ -80,6 +80,15 @@ class LinkConfig:
     # insurance for pairs whose MinHash bands all miss; off by default —
     # the fixture F1 gate holds without it)
     use_meta_lane: bool = False
+    # ---- pre-flight pair budget (P8/T4 backpressure analog) -------------
+    # Max candidate pairs ANY one blocking lane may forecast before the
+    # pipeline pays for the self-join. When set, run_pipeline prices each
+    # lane's exact fan-out from block sizes alone (blocking.volume_forecast,
+    # O(records) work predicting O(pairs)) and raises PairBudgetExceeded
+    # BEFORE generating a single pair — the bounded-channel backpressure of
+    # the reference (src/main.rs:141-146) applied to shuffle volume. None
+    # (default) = forecast-free run.
+    pair_budget: int | None = None
     # ---- scoring (stage 4) ----------------------------------------------
     # cap text length for O(n*m) Levenshtein: the quadratic term dominates
     # pair scoring (measured 67s of a 96s stage at cap=512, 63k pairs); 256
@@ -151,6 +160,10 @@ class LinkConfig:
             )
         if self.meta_keys_per_record < 1:
             raise ValueError("meta_keys_per_record must be >= 1")
+        if self.pair_budget is not None and self.pair_budget < 1:
+            raise ValueError(
+                f"pair_budget must be >= 1 or None, got {self.pair_budget}"
+            )
         return self
 
     #: Engine schema/semantics version — bump whenever a stage's output

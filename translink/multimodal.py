@@ -232,6 +232,209 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Pure-stdlib GIF decoder (public GIF87a/89a spec: LZW + palette).
+
+    Decodes the FIRST image frame: variable-width LSB-first LZW codes
+    (CLEAR/EOI handling, table growth to the 12-bit cap), global or local
+    color table, and the 4-pass interlace row order. Palette indices are
+    expanded to RGB, so the return is ``(h, w, 3)`` uint8 — the same
+    convention as paletted PNG in :func:`decode_png`. Raises ``ValueError``
+    for malformed bytes; animation (later frames) and GCE transparency are
+    ignored by design (first-frame pixels are the content identity).
+    """
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos:pos + 3 * n], np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("truncated GIF global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+
+    def subblocks(p: int) -> tuple[bytes, int]:
+        chunks = []
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated GIF sub-blocks")
+            ln = payload[p]
+            p += 1
+            if ln == 0:
+                return b"".join(chunks), p
+            if p + ln > len(payload):
+                raise ValueError("truncated GIF sub-block")
+            chunks.append(payload[p:p + ln])
+            p += ln
+
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image descriptor")
+        if block == 0x21:  # extension: label byte + sub-blocks, skipped
+            _, pos = subblocks(pos + 2)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        w, h = struct.unpack("<HH", payload[pos + 5:pos + 9])
+        ipacked = payload[pos + 9]
+        pos += 10
+        table = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(payload[pos:pos + 3 * n], np.uint8)
+            if table.size != 3 * n:
+                raise ValueError("truncated GIF local color table")
+            table = table.reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image without any color table")
+        if w < 1 or h < 1:
+            raise ValueError(f"GIF dims {w}x{h} invalid")
+        mcs = payload[pos]
+        if not (2 <= mcs <= 11):
+            raise ValueError(f"GIF LZW min code size {mcs} invalid")
+        data, pos = subblocks(pos + 1)
+
+        # ---- LZW decode (LSB-first variable-width codes) ---------------
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        base = [bytes([i]) for i in range(clear)] + [b"", b""]
+        dictionary = list(base)
+        code_size = mcs + 1
+        acc = nbits = di = 0
+        prev: int | None = None
+        out: list[bytes] = []
+        n_px = w * h
+        got = 0
+        while got < n_px:
+            while nbits < code_size:
+                if di >= len(data):
+                    raise ValueError("GIF LZW stream ran out of codes")
+                acc |= data[di] << nbits
+                nbits += 8
+                di += 1
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                dictionary = list(base)
+                code_size = mcs + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= clear:
+                    raise ValueError("GIF LZW first code not a literal")
+                entry = dictionary[code]
+            elif code < len(dictionary):
+                entry = dictionary[code]
+                if len(dictionary) < 4096:
+                    dictionary.append(dictionary[prev] + entry[:1])
+            elif code == len(dictionary) and len(dictionary) < 4096:
+                entry = dictionary[prev] + dictionary[prev][:1]
+                dictionary.append(entry)
+            else:
+                raise ValueError(f"GIF LZW code {code} out of range")
+            out.append(entry)
+            got += len(entry)
+            if len(dictionary) == (1 << code_size) and code_size < 12:
+                code_size += 1
+            prev = code
+        idx = np.frombuffer(b"".join(out), np.uint8)[:n_px]
+        if idx.size < n_px:
+            raise ValueError("GIF pixel payload has wrong length")
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("GIF pixel index outside the color table")
+        img = idx.reshape(h, w)
+        if ipacked & 0x40:  # 4-pass interlace (spec appendix E)
+            rows = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            de = np.empty_like(img)
+            de[rows] = img
+            img = de
+        return table[img]
+    raise ValueError("truncated GIF (no trailer, no image)")
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal GIF89a encoder — the fixture/round-trip counterpart of
+    :func:`decode_gif`. ``img`` is ``(h, w)`` uint8; indices double as a
+    256-entry grayscale palette. The LZW stream emits literal codes only,
+    tracking the decoder's table growth for the variable code width and
+    issuing CLEAR at the 12-bit cap — valid LZW, no compression."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError(f"unsupported image shape {img.shape} (gray only)")
+    h, w = img.shape
+    if interlace:
+        # rows stored in 4-pass order; the decoder scatters them back
+        order = np.concatenate([
+            np.arange(0, h, 8), np.arange(4, h, 8),
+            np.arange(2, h, 4), np.arange(1, h, 2),
+        ])
+        img = img[order]
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    mcs = 8
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    acc = nbits = 0
+    buf = bytearray()
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = mcs + 1
+    n_codes = eoi + 1
+    emit(clear, code_size)
+    first = True
+    for px in img.ravel():
+        emit(int(px), code_size)
+        if first:
+            first = False
+            continue
+        n_codes += 1  # the decoder appends one entry per non-first code
+        if n_codes == (1 << code_size):
+            if code_size < 12:
+                code_size += 1
+            else:
+                emit(clear, code_size)
+                code_size = mcs + 1
+                n_codes = eoi + 1
+                first = True
+    emit(eoi, code_size)
+    if nbits:
+        buf.append(acc & 0xFF)
+
+    sub = b"".join(
+        bytes([min(255, len(buf) - i)]) + bytes(buf[i:i + 255])
+        for i in range(0, len(buf), 255)
+    ) + b"\x00"
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # 256-entry GCT
+        + gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                0x40 if interlace else 0)
+        + bytes([mcs]) + sub + b"\x3b"
+    )
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Pure-stdlib BMP decoder (uncompressed BITMAPINFOHEADER, per the
     public BMP file format).
@@ -506,9 +709,11 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if magic == "bmp":
         return decode_bmp(payload)
+    if magic == "gif":
+        return decode_gif(payload)
     raise NotImplementedError(
-        f"no {magic} codec in this environment; only PNG/BMP decode for "
-        "real — pass the fake flag for the deterministic stand-in decoder"
+        f"no {magic} codec in this environment; only PNG/BMP/GIF decode "
+        "for real — pass the fake flag for the deterministic stand-in decoder"
     )
 
 

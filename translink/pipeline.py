@@ -138,6 +138,36 @@ def _run_stages(transcripts, cfg, _stage, timings, cat) -> dict:
         lsh_pairs = lsh_candidate_pairs(
             bands, signed, cfg, payload_cols=["digest"]
         ).drop("n_bands_hit")
+        if cfg.pair_budget is not None:
+            # Pre-flight backpressure (T4 analog): price every lane's exact
+            # self-join fan-out from block sizes alone and refuse to start
+            # the O(pairs) work when a lane exceeds the budget. The LSH
+            # forecast re-salts the band table (one extra window pass —
+            # only paid when a budget is configured); the salted keys here
+            # are byte-identical to lsh_candidate_pairs' own salting, so
+            # the forecast equals the join's true row count.
+            from translink.blocking import enforce_pair_budget, volume_forecast
+
+            lanes_fc = [
+                volume_forecast(blocked, ["block_key", "salt"], "attr"),
+                volume_forecast(
+                    with_salt(bands, ["band_id", "band_hash"], cfg),
+                    ["band_id", "band_hash", "salt"], "lsh",
+                ),
+            ]
+            if cfg.use_meta_lane:
+                from translink.metablocking import (
+                    filter_blocks, purge_blocks, shingle_block_keys,
+                )
+
+                lanes_fc.append(volume_forecast(
+                    purge_blocks(
+                        filter_blocks(shingle_block_keys(signed, cfg), cfg),
+                        cfg,
+                    ),
+                    ["key"], "meta",
+                ))
+            enforce_pair_budget(lanes_fc, cfg.pair_budget)
         # One row per distinct pair from either blocker; pairs already equal
         # by digest are resolved on the exact path — exclude them from
         # similarity scoring (the reference's early-exit, src/pipeline/mod.rs:92-95).
@@ -163,9 +193,13 @@ def _run_stages(transcripts, cfg, _stage, timings, cat) -> dict:
                 shingle_block_keys,
             )
 
+            # meta_block_pairs consumes the purged key table three times
+            # (per-node key counts + both sides of the self-join):
+            # checkpoint it once so the canonicalize/shingle/explode
+            # lineage runs a single time (q_cluster_graph_stats discipline)
             keys = purge_blocks(
                 filter_blocks(shingle_block_keys(signed, cfg), cfg), cfg
-            )
+            ).localCheckpoint(eager=True)
             meta = cnp_prune(meta_block_pairs(keys, cfg), cfg)
             dig = signed.select("conv_id", "digest")
             meta_pairs = (

@@ -62,6 +62,7 @@ def incremental_signatures(
     checkpoint_dir: str,
     cfg: LinkConfig | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int = 4,
 ):
     """Run the signature stages incrementally over a transcript stream.
 
@@ -71,10 +72,12 @@ def incremental_signatures(
     per batch — ``read_signature_store`` repairs them from the turn store.
     Returns the StreamingQuery; with ``available_now`` the call drains all
     pending files then stops (Flush/Shutdown semantics).
+    ``max_files_per_trigger`` bounds each micro-batch (the reference's
+    channel capacity / batch-size knob, ``src/main.rs:141-159``).
     """
     cfg = cfg or LinkConfig()
     os.makedirs(store_dir, exist_ok=True)
-    stream = stream_transcript_dir(spark, landing_dir)
+    stream = stream_transcript_dir(spark, landing_dir, max_files_per_trigger)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
