@@ -43,6 +43,10 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--drops", type=int, default=16)
+    ap.add_argument("--scale", type=int, default=1,
+                    help="union N conv_id-disjoint copies of the derived "
+                         "transcripts — shows time-to-first staying flat "
+                         "while the batch wall grows with the corpus")
     ap.add_argument("--files-per-trigger", type=int, default=2)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -65,7 +69,17 @@ def main() -> None:
     # the transcripts table is derived from events exactly as the entry
     # file's queries derive it (same corpus every artifact measures)
     import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
     turns = entrymod.derive_transcripts(spark, args.sf_dir)
+    if args.scale > 1:
+        base = turns
+        copies = [base] + [
+            base.withColumn("conv_id", F.concat(F.lit(f"v{i}_"), "conv_id"))
+            for i in range(1, args.scale)
+        ]
+        turns = copies[0]
+        for c in copies[1:]:
+            turns = turns.unionByName(c)
     n_rows = turns.count()
 
     work = tempfile.mkdtemp(prefix="translink_stream_bench_")
