@@ -308,3 +308,40 @@ def test_run_link_pipeline_meta_model(spark, tmp_path):
     assert all(t == 0.0 for t in second["timings"].values())
     assert {(r["conv_id_a"], r["conv_id_b"])
             for r in second["matches"].collect()} == {("a1", "b1")}
+
+
+def test_link_pair_budget_trips_before_join(spark):
+    """Bipartite pre-flight: a hot shared block across the two corpora must
+    raise PairBudgetExceeded from the O(records) forecast, before the A×B
+    join materializes a pair; the forecast counts CROSS-side products only."""
+    from translink.blocking import PairBudgetExceeded
+    from translink.canonicalize import canonicalize
+    from translink.blocking import with_block_key
+
+    # 40 x 40 same-length single-turn conversations -> one shared block
+    a = _turns(spark, {f"a{i:02d}": [f"{LONG} {i:02d}"] for i in range(40)})
+    b = _turns(spark, {f"b{i:02d}": [f"{LONG} {i:02d}"] for i in range(40)})
+    cfg = LinkConfig(pair_budget=50, max_block_size=512)
+    prep_a = with_block_key(canonicalize(a, cfg), cfg)
+    prep_b = with_block_key(canonicalize(b, cfg), cfg)
+    with pytest.raises(PairBudgetExceeded) as exc:
+        link_candidate_pairs(prep_a, prep_b, cfg, payload_cols=[])
+    assert all(d["lane"] == "link" for d in exc.value.over)
+    # cross-side only: 40*40 = 1600 (C(80,2) = 3160 would be the self-join
+    # overcount the bipartite forecast must NOT produce)
+    assert sum(d["join_pairs"] for d in exc.value.over) == 1600
+
+
+def test_link_pair_budget_forecast_matches_actual(spark):
+    """With a generous budget the forecast equals the actual A×B pair count
+    (each record holds exactly one (block_key, salt) key)."""
+    from translink.canonicalize import canonicalize
+    from translink.blocking import with_block_key
+
+    a = _turns(spark, {f"a{i:02d}": [f"{LONG} {i:02d}"] for i in range(12)})
+    b = _turns(spark, {f"b{i:02d}": [f"{LONG} {i:02d}"] for i in range(9)})
+    cfg = LinkConfig(pair_budget=10_000, max_block_size=512)
+    prep_a = with_block_key(canonicalize(a, cfg), cfg)
+    prep_b = with_block_key(canonicalize(b, cfg), cfg)
+    n = link_candidate_pairs(prep_a, prep_b, cfg, payload_cols=[]).count()
+    assert n == 12 * 9

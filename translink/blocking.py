@@ -176,6 +176,34 @@ def volume_forecast(
     return agg.select(F.lit(lane).alias("lane"), "*")
 
 
+def bipartite_volume_forecast(
+    keys: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+    lane: str,
+    side_col: str = "_side",
+) -> DataFrame:
+    """One-row forecast of a BIPARTITE lane's A×B join fan-out from block
+    sizes alone: sum over blocks of ``n_a * n_b`` — only cross-side pairs
+    count (the linkage join's ``side_a < side_b`` predicate), so the
+    self-join formula C(n, 2) would overstate it by the within-side terms.
+    Same output schema as :func:`volume_forecast`.
+    """
+    sizes = keys.groupBy(*key_cols).agg(
+        F.sum(F.when(F.col(side_col) == "a", 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(F.col(side_col) == "b", 1).otherwise(0)).alias("_nb"),
+    )
+    agg = sizes.agg(
+        F.coalesce(F.sum(F.col("_na") + F.col("_nb")), F.lit(0))
+        .cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.coalesce(F.max(F.col("_na") + F.col("_nb")), F.lit(0))
+        .cast("bigint").alias("max_block_size"),
+        F.coalesce(F.sum(F.col("_na") * F.col("_nb")), F.lit(0))
+        .cast("bigint").alias("join_pairs"),
+    )
+    return agg.select(F.lit(lane).alias("lane"), "*")
+
+
 class PairBudgetExceeded(RuntimeError):
     """A blocking lane's forecast candidate fan-out exceeds the configured
     ``cfg.pair_budget`` — raised BEFORE the self-join that would generate

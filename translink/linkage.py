@@ -89,6 +89,19 @@ def link_candidate_pairs(
         # fan-out-aware partition pinning — see candidates.candidate_pairs
         cfg.shuffle_partitions, "block_key", "salt"
     )
+    if cfg.pair_budget is not None:
+        # same pre-flight backpressure as run_pipeline's dedup lanes: price
+        # the exact A×B fan-out (cross-side products per salted block) from
+        # block sizes alone and refuse before the join materializes a pair
+        from translink.blocking import (
+            bipartite_volume_forecast, enforce_pair_budget,
+        )
+
+        enforce_pair_budget(
+            [bipartite_volume_forecast(
+                salted, ["block_key", "salt"], "link")],
+            cfg.pair_budget,
+        )
     joined = (
         salted.alias("a")
         .hint("MERGE")
