@@ -1,8 +1,10 @@
 """Multimodal plumbing: schema, magic sniffing, mapInPandas kernel, dedup.
 
-The decode step is a documented stub; everything distributed around it is
-real (the contract from the task brief: schema, partitioning, UDF signature,
-batch shape tested; codec behind NotImplementedError)."""
+PNG, BMP, WAV, GIF and baseline JPEG decode FOR REAL (pure-stdlib codecs);
+containers with no codec here (video, progressive JPEG, subsampled chroma)
+stay behind documented NotImplementedError boundaries, and everything
+distributed around the codecs — schema, partitioning, UDF signature, batch
+shape — is tested on both the real and the fake-decode paths."""
 
 import pandas as pd
 import pytest
@@ -18,8 +20,9 @@ from translink.multimodal import (
 
 
 def test_decode_stub_raises_without_fake():
+    # a container family with no image codec (matroska/video) stays fenced
     with pytest.raises(NotImplementedError):
-        decode_image_batch(pd.Series([b"\xff\xd8\xff"]), fake=False)
+        decode_image_batch(pd.Series([b"\x1aE\xdf\xa3stream"]), fake=False)
 
 
 def test_sniff_magic():
@@ -71,8 +74,9 @@ def test_resize_images_real_resample(spark):
     assert by_id[16]["thumb_hash"] == by_id[0]["thumb_hash"]
     assert by_id[17]["thumb_hash"] == by_id[1]["thumb_hash"]
     # real-decode over these fake-header payloads fails INSIDE the kernel
-    # (jpeg has no codec; the fake PNG header is not a valid PNG stream)
-    with pytest.raises(Exception, match="codec|PNG"):
+    # (every synthetic header is followed by random bytes, not a valid
+    # container stream for its now-real codec)
+    with pytest.raises(Exception, match="codec|PNG|GIF|JPEG"):
         resize_images(assets, fake_decode=False).collect()
 
 
@@ -263,13 +267,15 @@ def test_real_decode_rejects_non_png(spark):
 
     from translink.multimodal import decode_image_batch
 
-    # jpeg: a real container with no codec here -> out-of-scope
+    # ogg: a real container with no image codec here -> out-of-scope
     with pytest.raises(NotImplementedError):
-        decode_image_batch(pd.Series([b"\xff\xd8\xff\xe0..."]), fake=False)
-    # gif now has a real codec: a truncated one is MALFORMED, not
+        decode_image_batch(pd.Series([b"OggS\x00\x02..."]), fake=False)
+    # gif/jpeg now have real codecs: a truncated one is MALFORMED, not
     # out-of-scope (corrupt-vs-unsupported taxonomy)
     with pytest.raises(ValueError):
         decode_image_batch(pd.Series([b"GIF89a..."]), fake=False)
+    with pytest.raises(ValueError):
+        decode_image_batch(pd.Series([b"\xff\xd8\xff\xe0..."]), fake=False)
 
 
 # ---------------------------------------------------------------------------
@@ -584,3 +590,96 @@ def test_assets_from_documents_deterministic_real_decode(spark):
         per.setdefault(r["asset_id"], []).append((r["chunk_idx"], r["chunk_hash"]))
     assert sorted(per[0]) == sorted(per[2])
     assert len(per[0]) >= 4  # 240 bytes @1kHz = 240ms -> overlapping windows
+
+
+# ---------------------------------------------------------------------------
+# Real baseline JPEG codec (pure-stdlib DCT + Huffman decode_jpeg/encode_jpeg)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_round_trip_gray_and_color():
+    import numpy as np
+
+    from translink.multimodal import decode_jpeg, encode_jpeg, sniff_magic
+
+    # constant blocks survive quantization exactly
+    img = np.full((24, 24), 130, np.uint8)
+    p = encode_jpeg(img, quality=90)
+    assert sniff_magic(p) == "jpeg"
+    assert (decode_jpeg(p) == img).all()
+    # smooth gradient at high quality: tight tolerance; lossy, not broken
+    gy, gx = np.mgrid[0:32, 0:48]
+    img = np.clip(gy * 3 + gx * 2, 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 2.0
+    # color (YCbCr 4:4:4 both ways), non-multiple-of-8 dims pad with edge
+    img3 = np.dstack([img[:17, :23], img[:17, :23][::-1],
+                      np.roll(img[:17, :23], 5, axis=1)])
+    out = decode_jpeg(encode_jpeg(img3, quality=92))
+    assert out.shape == img3.shape
+    assert np.abs(out.astype(int) - img3.astype(int)).mean() < 4.0
+
+
+def test_jpeg_restart_intervals():
+    """DRI + RSTn markers: predictors reset, stream re-byte-aligns —
+    the decoder's restart path against encoder-emitted markers."""
+    import numpy as np
+
+    from translink.multimodal import decode_jpeg, encode_jpeg
+
+    gy, gx = np.mgrid[0:40, 0:56]
+    img = np.clip(gy * 3 + gx * 2, 0, 255).astype(np.uint8)
+    for ri in (1, 3):
+        out = decode_jpeg(encode_jpeg(img, quality=95, restart_interval=ri))
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 1.0
+
+
+def test_jpeg_malformed_and_unsupported():
+    import numpy as np
+    import pytest
+
+    from translink.multimodal import decode_jpeg, encode_jpeg
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = encode_jpeg(img)
+    # malformed -> ValueError
+    for bad in (
+        b"\x00\x00junk",                 # no SOI
+        good[:-40],                       # truncated entropy stream
+        good[:2] + b"\xff\xd9",           # EOI with no scan
+    ):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+    # valid-but-unsupported -> NotImplementedError: progressive SOF2
+    prog = bytearray(good)
+    i = prog.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+    # subsampled chroma (sampling factor 2x2 on component 1)
+    sub = bytearray(good)
+    i = sub.index(b"\xff\xc0")
+    sub[i + 11] = 0x22  # first component sampling byte inside SOF0
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(sub))
+
+
+def test_extract_features_real_jpeg_distributed(spark):
+    import numpy as np
+
+    from translink.multimodal import (
+        ASSET_SCHEMA, encode_jpeg, extract_features,
+    )
+
+    gy, gx = np.mgrid[0:16, 0:16]
+    imgs = [np.clip(gy * (i + 2) + gx, 0, 255).astype(np.uint8)
+            for i in range(3)]
+    rows = [(i, "image", encode_jpeg(im), "src") for i, im in enumerate(imgs)]
+    rows.append((3, "image", encode_jpeg(imgs[0]), "dup"))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(2)
+    feats = {r["asset_id"]: r
+             for r in extract_features(assets, fake_decode=False).collect()}
+    assert all(r["magic"] == "jpeg" and r["width"] == 16 for r in feats.values())
+    assert feats[0]["feature_hash"] == feats[3]["feature_hash"]
+    assert feats[0]["feature_hash"] != feats[1]["feature_hash"]

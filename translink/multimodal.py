@@ -6,16 +6,18 @@ kernels so each partition streams through Python in bounded batches (the
 Spark analog of the reference's MIME magic-number detection and
 content-structure analysis, ``src/pipeline/quick_check.rs:292-370``).
 
-Codecs: PNG and BMP decode FOR REAL via pure-stdlib decoders
-(``decode_png``: zlib inflate + per-scanline unfilter, straight from the
-public PNG spec / RFC 2083; ``decode_bmp``: uncompressed BITMAPINFOHEADER
-8/24-bit per the public BMP format), and WAV audio decodes FOR REAL via
-``decode_wav`` (RIFF/WAVE 8/16-bit PCM) — no media library needed. Other
-containers (jpeg/gif/video) remain STUBBED: the decode kernels raise
-NotImplementedError for them unless the deterministic fake decoder is
-requested. Everything around the codec boundary — schema, partitioning,
-UDF signatures, batch iteration, metadata extraction — is real and tested
-either way.
+Codecs: PNG, BMP, GIF, baseline JPEG and WAV decode FOR REAL via
+pure-stdlib decoders — ``decode_png`` (zlib inflate + per-scanline
+unfilter, public PNG spec / RFC 2083), ``decode_bmp`` (uncompressed
+BITMAPINFOHEADER 8/24-bit), ``decode_gif`` (variable-width LZW, palettes,
+4-pass interlace, public GIF87a/89a spec), ``decode_jpeg`` (baseline
+sequential DCT + canonical Huffman, grayscale / YCbCr 4:4:4, restart
+intervals, public ITU T.81), and ``decode_wav`` (RIFF/WAVE 8/16-bit PCM)
+— no media library needed. Containers without a codec here (video,
+progressive JPEG, subsampled chroma) raise NotImplementedError unless the
+deterministic fake decoder is requested. Everything around the codec
+boundary — schema, partitioning, UDF signatures, batch iteration,
+metadata extraction — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -230,6 +232,424 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
     )
+
+
+#: ITU T.81 Annex K luminance quantization table (public spec constants),
+#: zigzag-linearized on demand. Used by the ENCODER only — the decoder
+#: always reads DQT/DHT from the stream, so decode correctness never
+#: depends on these constants.
+_JPEG_QUANT_LUM = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+
+#: Annex K typical Huffman tables (BITS, HUFFVAL) — DC/AC luminance.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """The 64-entry zigzag scan order, computed (not recalled): traverse
+    anti-diagonals, alternating direction — up-right on even sums."""
+    order = []
+    for s in range(15):
+        cells = [(r, s - r) for r in range(max(0, s - 7), min(s, 7) + 1)]
+        order.extend(cells if s % 2 else cells[::-1])
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+#: Orthonormal 8x8 DCT-II basis: forward F = D @ f @ D.T, inverse
+#: f = D.T @ F @ D (A.3.3 of the spec, matrix form).
+_JPEG_DCT = np.array([
+    [(np.sqrt(0.125) if u == 0 else 0.5)
+     * np.cos((2 * x + 1) * u * np.pi / 16) for x in range(8)]
+    for u in range(8)
+])
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (spec C.2): value -> (code, length)."""
+    out, code = {}, 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman decode map: (length, code) -> value."""
+    out, code = {}, 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_quality_table(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's public quality scaling of a base quantization table."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing
+    and restart-marker awareness."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos = data, pos
+        self.acc, self.nbits = 0, 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy stream ran out of bytes")
+        byte = d[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(d):
+                raise ValueError("JPEG truncated after 0xFF")
+            nxt = d[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError("JPEG unexpected restart marker mid-symbol")
+            else:
+                # marker (e.g. EOI) reached while decoder still wants bits:
+                # pad with 1s per spec; rewind so the caller sees the marker
+                self.pos -= 1
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("JPEG invalid Huffman code")
+
+    def restart(self) -> None:
+        """Consume an RSTn marker at a byte-aligned restart boundary."""
+        self.acc, self.nbits = 0, 0
+        d = self.data
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF \
+                or not (0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("JPEG missing restart marker")
+        self.pos += 2
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """Sign-extend an s-bit magnitude value (spec F.2.2.1 EXTEND)."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Pure-stdlib baseline JPEG decoder (public ITU T.81 / JFIF spec).
+
+    Supports baseline sequential DCT (SOF0), 8-bit precision, grayscale
+    and 3-component YCbCr without chroma subsampling (all sampling
+    factors 1x1), stream-carried DQT/DHT (any tables, not just Annex K),
+    and restart intervals. Returns ``(h, w)`` uint8 for grayscale or
+    ``(h, w, 3)`` RGB. Raises ``ValueError`` for malformed bytes and
+    ``NotImplementedError`` for valid-but-unsupported variants
+    (progressive SOF2, 12-bit, arithmetic coding, subsampled chroma) —
+    callers distinguish corrupt from out-of-scope.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, [(cid, tq, td, ta)])
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG has no scan")
+        seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        seg = payload[pos + 4:pos + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("JPEG truncated segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("JPEG 16-bit quant tables")
+                tbl = np.frombuffer(seg[p + 1:p + 65], np.uint8)
+                if tbl.size != 64:
+                    raise ValueError("JPEG truncated DQT")
+                dq = np.zeros(64, np.int32)
+                dq[_JPEG_ZZ] = tbl
+                qt[tq] = dq.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17:p + 17 + n])
+                if len(bits) != 16 or len(vals) != n:
+                    raise ValueError("JPEG truncated DHT")
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _jpeg_huff_decoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "JPEG chroma subsampling not supported (1x1 only)"
+                    )
+                comps.append([cid, tq, None, None])
+            if nc not in (1, 3):
+                raise NotImplementedError(f"JPEG {nc}-component frame")
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} not supported (baseline SOF0 only)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            for i in range(ns):
+                cs, tda = seg[1 + 2 * i], seg[2 + 2 * i]
+                for c in frame[2]:
+                    if c[0] == cs:
+                        c[2], c[3] = tda >> 4, tda & 0x0F
+            pos = pos + 2 + seg_len
+            return _jpeg_scan(payload, pos, frame, qt, huff_dc, huff_ac,
+                              restart_interval)
+        # APPn/COM/others: skipped
+        pos += 2 + seg_len
+    raise ValueError("JPEG ended before SOS")
+
+
+def _jpeg_scan(payload, pos, frame, qt, huff_dc, huff_ac, restart_interval):
+    h, w, comps = frame
+    if h < 1 or w < 1:
+        raise ValueError(f"JPEG dims {w}x{h} invalid")
+    for cid, tq, td, ta in comps:
+        if tq not in qt or td not in huff_dc or ta not in huff_ac:
+            raise ValueError("JPEG scan references missing DQT/DHT table")
+    rd = _JpegBitReader(payload, pos)
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((by * 8, bx * 8), np.float64) for _ in comps]
+    pred = [0] * len(comps)
+    mcu = 0
+    for y in range(by):
+        for x in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                rd.restart()
+                pred = [0] * len(comps)
+            for ci, (cid, tq, td, ta) in enumerate(comps):
+                s = rd.huff(huff_dc[td])
+                if s > 11:
+                    raise ValueError("JPEG DC category out of range")
+                pred[ci] += _jpeg_extend(rd.bits(s), s)
+                coefs = np.zeros(64, np.float64)
+                coefs[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = rd.huff(huff_ac[ta])
+                    r, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    coefs[k] = _jpeg_extend(rd.bits(size), size)
+                    k += 1
+                blk = np.zeros(64, np.float64)
+                blk[_JPEG_ZZ] = coefs
+                blk = blk.reshape(8, 8) * qt[tq]
+                pix = _JPEG_DCT.T @ blk @ _JPEG_DCT + 128.0
+                planes[ci][y * 8:y * 8 + 8, x * 8:x * 8 + 8] = pix
+            mcu += 1
+    planes = [p[:h, :w] for p in planes]
+    if len(comps) == 1:
+        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+    yy, cb, cr = planes
+    r = yy + 1.402 * (cr - 128.0)
+    g = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = yy + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255) \
+        .astype(np.uint8)
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Minimal baseline JPEG encoder — the fixture/round-trip counterpart
+    of :func:`decode_jpeg`. ``img`` is ``(h, w)`` gray or ``(h, w, 3)``
+    RGB uint8; no chroma subsampling (1x1), Annex K tables scaled by
+    ``quality`` (chrominance reuses the luminance table — valid per the
+    spec, simpler, and slightly higher-fidelity). ``restart_interval``
+    emits a DRI segment and byte-aligned RSTn markers every that many
+    MCUs (predictors reset) — the error-resilience feature real encoders
+    ship, and the fixture for the decoder's restart path."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        ncomp = 1
+        planes = [img.astype(np.float64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ncomp = 3
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,                    # Y
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,       # Cb
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,        # Cr
+        ]
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    q = _jpeg_quality_table(_JPEG_QUANT_LUM, quality)
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    acc, nbits = 0, 0
+    out = bytearray()
+
+    def emit(code: int, ln: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << ln) | code
+        nbits += ln
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+            acc &= (1 << nbits) - 1
+
+    def emit_val(v: int) -> tuple[int, int]:
+        """-> (category, extend-coded bits) for a coefficient value."""
+        s = int(abs(v)).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    def flush() -> None:  # byte-align, padding with 1s (spec F.1.2.3)
+        nonlocal acc, nbits
+        if nbits:
+            pad = 8 - nbits
+            emit((1 << pad) - 1, pad)
+
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    padded = [np.pad(p, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
+              for p in planes]
+    pred = [0] * ncomp
+    mcu, n_mcu, rst = 0, by * bx, 0
+    for y in range(by):
+        for x in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                flush()
+                out.extend((0xFF, 0xD0 + rst % 8))  # raw marker, unstuffed
+                rst += 1
+                pred = [0] * ncomp
+            mcu += 1
+            for ci in range(ncomp):
+                blk = padded[ci][y * 8:y * 8 + 8, x * 8:x * 8 + 8] - 128.0
+                coefs = _JPEG_DCT @ blk @ _JPEG_DCT.T
+                qz = np.round(coefs / q).astype(np.int64).reshape(64)[_JPEG_ZZ]
+                diff = int(qz[0]) - pred[ci]
+                pred[ci] = int(qz[0])
+                s, v = emit_val(diff)
+                emit(*dc_codes[s])
+                if s:
+                    emit(v, s)
+                run = 0
+                last = np.nonzero(qz[1:])[0]
+                last = int(last[-1]) + 1 if last.size else 0
+                for k in range(1, last + 1):
+                    c = int(qz[k])
+                    if c == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        emit(*ac_codes[0xF0])  # ZRL
+                        run -= 16
+                    s, v = emit_val(c)
+                    emit(*ac_codes[(run << 4) | s])
+                    emit(v, s)
+                    run = 0
+                if last < 63:
+                    emit(*ac_codes[0x00])  # EOB
+    flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q.reshape(64)[_JPEG_ZZ]))
+    sof_comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    dht = seg(0xC4, bytes([0x00] + _JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)) \
+        + seg(0xC4, bytes([0x10] + _JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) \
+        if restart_interval else b""
+    sos_comps = b"".join(bytes([i + 1, 0x00]) for i in range(ncomp))
+    sos = seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(out)
+            + b"\xff\xd9")
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
@@ -711,9 +1131,12 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if magic == "gif":
         return decode_gif(payload)
+    if magic == "jpeg":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        f"no {magic} codec in this environment; only PNG/BMP/GIF decode "
-        "for real — pass the fake flag for the deterministic stand-in decoder"
+        f"no {magic} codec in this environment; only PNG/BMP/GIF/JPEG "
+        "decode for real — pass the fake flag for the deterministic "
+        "stand-in decoder"
     )
 
 
