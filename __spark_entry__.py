@@ -1712,6 +1712,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ]), 16, 10,
             ).cast("long")
 
+        def le16(off):
+            # little-endian u16 (GIF logical screen descriptor)
+            return F.conv(
+                F.concat(
+                    F.hex(F.expr(f"substring(payload, {off + 1}, 1)")),
+                    F.hex(F.expr(f"substring(payload, {off}, 1)")),
+                ), 16, 10,
+            ).cast("long")
+
         nul = F.lit(None).cast("long")
         img = assets_from_documents(docs, media_type="image").select(
             "asset_id", F.lit("image").alias("kind"),
@@ -1720,6 +1729,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 == F.lit("89504E470D0A1A0A"), "png",
             ).otherwise("other").alias("magic"),
             be32(17).alias("width"), be32(21).alias("height"),
+            nul.alias("sample_rate"), nul.alias("n_samples"),
+            nul.alias("n_bytes"), nul.alias("n_chunks"),
+        )
+        gif = assets_from_documents(docs, media_type="gif").select(
+            "asset_id", F.lit("gif").alias("kind"),
+            F.when(
+                F.hex(F.expr("substring(payload, 1, 6)"))
+                == F.lit("474946383961"), "gif",  # 'GIF89a'
+            ).otherwise("other").alias("magic"),
+            # logical-screen dims: little-endian u16 at bytes 7-8 / 9-10
+            le16(7).alias("width"), le16(9).alias("height"),
             nul.alias("sample_rate"), nul.alias("n_samples"),
             nul.alias("n_bytes"), nul.alias("n_chunks"),
         )
@@ -1744,7 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # start at 0, 50, ... while off < n  =>  ceil(n / 50)
             F.ceil(n_samples / F.lit(50.0)).cast("long").alias("n_chunks"),
         )
-        return img.unionByName(aud)
+        return img.unionByName(gif).unionByName(aud)
     q["mm_asset_meta"] = q_mm_asset_meta
 
     # -- Fellegi–Sunter match-weight waterfall (per-field evidence ledger,
@@ -2730,6 +2750,10 @@ SELECT doc_id AS asset_id, 'image' AS kind, 'png' AS magic,
        CAST(NULL AS BIGINT) AS n_samples,
        CAST(NULL AS BIGINT) AS n_bytes,
        CAST(NULL AS BIGINT) AS n_chunks
+FROM mm_nb
+UNION ALL
+SELECT doc_id, 'gif', 'gif',
+       24, 24, NULL, NULL, NULL, NULL
 FROM mm_nb
 UNION ALL
 SELECT doc_id, 'audio', 'wav',

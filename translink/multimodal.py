@@ -1332,11 +1332,12 @@ def assets_from_documents(
     batches, so the real codec path (``extract_features``/``chunk_audio``
     with the fake flag off) decodes them downstream; identical text
     yields identical payloads, so multimodal dedup composes with the
-    text-dedup lanes. This is the multimodal analog of the reference
-    deriving its work items from the scanned corpus rather than a
-    side-channel fixture."""
-    if media_type not in ("image", "audio"):
-        raise ValueError(f"media_type {media_type!r} not in image|audio")
+    text-dedup lanes. ``media_type="image"`` emits PNG, ``"gif"`` the
+    same tiled image as GIF (LZW lane), ``"audio"`` 8-bit PCM WAV. This
+    is the multimodal analog of the reference deriving its work items
+    from the scanned corpus rather than a side-channel fixture."""
+    if media_type not in ("image", "gif", "audio"):
+        raise ValueError(f"media_type {media_type!r} not in image|gif|audio")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1347,12 +1348,16 @@ def assets_from_documents(
                 if media_type == "image":
                     img = np.resize(arr, (image_side, image_side))
                     payloads.append(encode_png(img))
+                elif media_type == "gif":
+                    img = np.resize(arr, (image_side, image_side))
+                    payloads.append(encode_gif(img))
                 else:
                     pcm = np.resize(arr, (min(len(b), audio_bytes),))
                     payloads.append(encode_wav(pcm, sample_rate=sample_rate))
             yield pd.DataFrame({
                 "asset_id": pdf["doc_id"],
-                "media_type": media_type,
+                # GIF is still an image for downstream consumers
+                "media_type": "image" if media_type == "gif" else media_type,
                 "payload": payloads,
                 "source": pdf["source"],
             })
