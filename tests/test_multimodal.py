@@ -657,12 +657,42 @@ def test_jpeg_malformed_and_unsupported():
     prog[i + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(prog))
-    # subsampled chroma (sampling factor 2x2 on component 1)
+    # sampling factors above 2 (legal JPEG, out of scope here)
     sub = bytearray(good)
     i = sub.index(b"\xff\xc0")
-    sub[i + 11] = 0x22  # first component sampling byte inside SOF0
+    sub[i + 11] = 0x33  # first component sampling byte inside SOF0
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(sub))
+
+
+def test_jpeg_420_subsampling_round_trip():
+    """4:2:0 — the real-world default: 2x2 Y blocks per MCU, block-averaged
+    chroma, nearest upsampling on decode. Smaller stream, bounded error,
+    odd dims handled by MCU padding; composes with restart intervals."""
+    import numpy as np
+
+    from translink.multimodal import decode_jpeg, encode_jpeg
+
+    gy, gx = np.mgrid[0:32, 0:48]
+    lum = np.clip(gy * 3 + gx * 2, 0, 255).astype(np.uint8)
+    img = np.dstack([lum, lum[::-1], np.roll(lum, 7, axis=1)])
+    p444 = encode_jpeg(img, quality=92)
+    p420 = encode_jpeg(img, quality=92, subsample="420")
+    assert len(p420) < len(p444)  # chroma halved both axes
+    for payload in (p420,
+                    encode_jpeg(img, quality=92, subsample="420",
+                                restart_interval=2)):
+        out = decode_jpeg(payload)
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 5.0
+    # odd dims: MCU padding cropped back
+    odd = img[:17, :23]
+    out = decode_jpeg(encode_jpeg(odd, quality=92, subsample="420"))
+    assert out.shape == odd.shape
+    # constant color survives subsampling exactly
+    c = np.zeros((16, 16, 3), np.uint8)
+    c[..., 0], c[..., 1], c[..., 2] = 200, 64, 30
+    assert (decode_jpeg(encode_jpeg(c, quality=92, subsample="420")) == c).all()
 
 
 def test_extract_features_real_jpeg_distributed(spark):

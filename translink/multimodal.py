@@ -393,13 +393,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Pure-stdlib baseline JPEG decoder (public ITU T.81 / JFIF spec).
 
     Supports baseline sequential DCT (SOF0), 8-bit precision, grayscale
-    and 3-component YCbCr without chroma subsampling (all sampling
-    factors 1x1), stream-carried DQT/DHT (any tables, not just Annex K),
-    and restart intervals. Returns ``(h, w)`` uint8 for grayscale or
-    ``(h, w, 3)`` RGB. Raises ``ValueError`` for malformed bytes and
-    ``NotImplementedError`` for valid-but-unsupported variants
-    (progressive SOF2, 12-bit, arithmetic coding, subsampled chroma) —
-    callers distinguish corrupt from out-of-scope.
+    and 3-component YCbCr with sampling factors 1 and 2 per axis — i.e.
+    4:4:4, 4:2:2 and the ubiquitous 4:2:0 — stream-carried DQT/DHT (any
+    tables, not just Annex K), and restart intervals. Returns ``(h, w)``
+    uint8 for grayscale or ``(h, w, 3)`` RGB. Raises ``ValueError`` for
+    malformed bytes and ``NotImplementedError`` for
+    valid-but-unsupported variants (progressive SOF2, 12-bit, arithmetic
+    coding, sampling factors above 2) — callers distinguish corrupt from
+    out-of-scope.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -451,11 +452,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
+                hs, vs = samp >> 4, samp & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
                     raise NotImplementedError(
-                        "JPEG chroma subsampling not supported (1x1 only)"
+                        f"JPEG sampling factors {hs}x{vs} not supported "
+                        "(1 and 2 only — covers 4:4:4, 4:2:2, 4:2:0)"
                     )
-                comps.append([cid, tq, None, None])
+                comps.append([cid, tq, None, None, hs, vs])
             if nc not in (1, 3):
                 raise NotImplementedError(f"JPEG {nc}-component frame")
             frame = (h, w, comps)
@@ -487,47 +490,67 @@ def _jpeg_scan(payload, pos, frame, qt, huff_dc, huff_ac, restart_interval):
     h, w, comps = frame
     if h < 1 or w < 1:
         raise ValueError(f"JPEG dims {w}x{h} invalid")
-    for cid, tq, td, ta in comps:
+    for cid, tq, td, ta, hs, vs in comps:
         if tq not in qt or td not in huff_dc or ta not in huff_ac:
             raise ValueError("JPEG scan references missing DQT/DHT table")
     rd = _JpegBitReader(payload, pos)
-    by, bx = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((by * 8, bx * 8), np.float64) for _ in comps]
+    hmax = max(c[4] for c in comps)
+    vmax = max(c[5] for c in comps)
+    # MCU grid over hmax*8 x vmax*8 pixel tiles; each component ci
+    # contributes hs*vs blocks per MCU into its own (subsampled) plane
+    mx = (w + 8 * hmax - 1) // (8 * hmax)
+    my = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((my * 8 * c[5], mx * 8 * c[4]), np.float64)
+              for c in comps]
     pred = [0] * len(comps)
     mcu = 0
-    for y in range(by):
-        for x in range(bx):
+    for y in range(my):
+        for x in range(mx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 rd.restart()
                 pred = [0] * len(comps)
-            for ci, (cid, tq, td, ta) in enumerate(comps):
-                s = rd.huff(huff_dc[td])
-                if s > 11:
-                    raise ValueError("JPEG DC category out of range")
-                pred[ci] += _jpeg_extend(rd.bits(s), s)
-                coefs = np.zeros(64, np.float64)
-                coefs[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = rd.huff(huff_ac[ta])
-                    r, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if r == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG AC run past block end")
-                    coefs[k] = _jpeg_extend(rd.bits(size), size)
-                    k += 1
-                blk = np.zeros(64, np.float64)
-                blk[_JPEG_ZZ] = coefs
-                blk = blk.reshape(8, 8) * qt[tq]
-                pix = _JPEG_DCT.T @ blk @ _JPEG_DCT + 128.0
-                planes[ci][y * 8:y * 8 + 8, x * 8:x * 8 + 8] = pix
+            for ci, (cid, tq, td, ta, hs, vs) in enumerate(comps):
+                for bv in range(vs):
+                    for bh in range(hs):
+                        s = rd.huff(huff_dc[td])
+                        if s > 11:
+                            raise ValueError("JPEG DC category out of range")
+                        pred[ci] += _jpeg_extend(rd.bits(s), s)
+                        coefs = np.zeros(64, np.float64)
+                        coefs[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rd.huff(huff_ac[ta])
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            coefs[k] = _jpeg_extend(rd.bits(size), size)
+                            k += 1
+                        blk = np.zeros(64, np.float64)
+                        blk[_JPEG_ZZ] = coefs
+                        blk = blk.reshape(8, 8) * qt[tq]
+                        pix = _JPEG_DCT.T @ blk @ _JPEG_DCT + 128.0
+                        py = (y * vs + bv) * 8
+                        px = (x * hs + bh) * 8
+                        planes[ci][py:py + 8, px:px + 8] = pix
             mcu += 1
-    planes = [p[:h, :w] for p in planes]
+    # upsample subsampled components to full resolution (nearest —
+    # spec-legal; smooth-upsampling differences are below the codec's
+    # quantization noise), then crop the MCU padding
+    full = []
+    for (cid, tq, td, ta, hs, vs), p in zip(comps, planes):
+        if hs != hmax:
+            p = np.repeat(p, hmax // hs, axis=1)
+        if vs != vmax:
+            p = np.repeat(p, vmax // vs, axis=0)
+        full.append(p[:h, :w])
+    planes = full
     if len(comps) == 1:
         return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
     yy, cb, cr = planes
@@ -539,13 +562,18 @@ def _jpeg_scan(payload, pos, frame, qt, huff_dc, huff_ac, restart_interval):
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+    img: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsample: str = "444",
 ) -> bytes:
     """Minimal baseline JPEG encoder — the fixture/round-trip counterpart
     of :func:`decode_jpeg`. ``img`` is ``(h, w)`` gray or ``(h, w, 3)``
-    RGB uint8; no chroma subsampling (1x1), Annex K tables scaled by
-    ``quality`` (chrominance reuses the luminance table — valid per the
-    spec, simpler, and slightly higher-fidelity). ``restart_interval``
+    RGB uint8; ``subsample`` picks 4:4:4 (default) or 4:2:0 (2x2 Y
+    blocks per MCU, chroma block-averaged — the real-world default), and
+    Annex K tables scale by ``quality`` (chrominance reuses the
+    luminance table — valid per the spec, simpler, and slightly
+    higher-fidelity). ``restart_interval``
     emits a DRI segment and byte-aligned RSTn markers every that many
     MCUs (predictors reset) — the error-resilience feature real encoders
     ship, and the fixture for the decoder's restart path."""
@@ -594,53 +622,85 @@ def encode_jpeg(
             pad = 8 - nbits
             emit((1 << pad) - 1, pad)
 
-    by, bx = (h + 7) // 8, (w + 7) // 8
-    padded = [np.pad(p, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
-              for p in planes]
+    if ncomp == 3 and subsample == "420":
+        samps = [(2, 2), (1, 1), (1, 1)]
+    elif subsample == "444" or ncomp == 1:
+        samps = [(1, 1)] * ncomp
+    else:
+        raise ValueError(f"subsample {subsample!r} not in '444'|'420'")
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mx = (w + 8 * hmax - 1) // (8 * hmax)
+    my = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (hs, vs) in zip(planes, samps):
+        fh, fv = hmax // hs, vmax // vs
+        if fh > 1 or fv > 1:
+            # chroma downsample by block averaging (edge-padded first)
+            ph = (p.shape[0] + fv - 1) // fv * fv
+            pw = (p.shape[1] + fh - 1) // fh * fh
+            p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                       mode="edge")
+            p = p.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
+        th, tw = my * 8 * vs, mx * 8 * hs
+        padded.append(np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        ))
+
     pred = [0] * ncomp
-    mcu, n_mcu, rst = 0, by * bx, 0
-    for y in range(by):
-        for x in range(bx):
+
+    def enc_block(ci: int, blk: np.ndarray) -> None:
+        coefs = _JPEG_DCT @ (blk - 128.0) @ _JPEG_DCT.T
+        qz = np.round(coefs / q).astype(np.int64).reshape(64)[_JPEG_ZZ]
+        diff = int(qz[0]) - pred[ci]
+        pred[ci] = int(qz[0])
+        s, v = emit_val(diff)
+        emit(*dc_codes[s])
+        if s:
+            emit(v, s)
+        run = 0
+        last = np.nonzero(qz[1:])[0]
+        last = int(last[-1]) + 1 if last.size else 0
+        for k in range(1, last + 1):
+            c = int(qz[k])
+            if c == 0:
+                run += 1
+                continue
+            while run > 15:
+                emit(*ac_codes[0xF0])  # ZRL
+                run -= 16
+            s, v = emit_val(c)
+            emit(*ac_codes[(run << 4) | s])
+            emit(v, s)
+            run = 0
+        if last < 63:
+            emit(*ac_codes[0x00])  # EOB
+
+    mcu, rst = 0, 0
+    for y in range(my):
+        for x in range(mx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 flush()
                 out.extend((0xFF, 0xD0 + rst % 8))  # raw marker, unstuffed
                 rst += 1
                 pred = [0] * ncomp
             mcu += 1
-            for ci in range(ncomp):
-                blk = padded[ci][y * 8:y * 8 + 8, x * 8:x * 8 + 8] - 128.0
-                coefs = _JPEG_DCT @ blk @ _JPEG_DCT.T
-                qz = np.round(coefs / q).astype(np.int64).reshape(64)[_JPEG_ZZ]
-                diff = int(qz[0]) - pred[ci]
-                pred[ci] = int(qz[0])
-                s, v = emit_val(diff)
-                emit(*dc_codes[s])
-                if s:
-                    emit(v, s)
-                run = 0
-                last = np.nonzero(qz[1:])[0]
-                last = int(last[-1]) + 1 if last.size else 0
-                for k in range(1, last + 1):
-                    c = int(qz[k])
-                    if c == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        emit(*ac_codes[0xF0])  # ZRL
-                        run -= 16
-                    s, v = emit_val(c)
-                    emit(*ac_codes[(run << 4) | s])
-                    emit(v, s)
-                    run = 0
-                if last < 63:
-                    emit(*ac_codes[0x00])  # EOB
+            for ci, (hs, vs) in enumerate(samps):
+                for bv in range(vs):
+                    for bh in range(hs):
+                        py = (y * vs + bv) * 8
+                        px = (x * hs + bh) * 8
+                        enc_block(ci, padded[ci][py:py + 8, px:px + 8])
     flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     dqt = seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q.reshape(64)[_JPEG_ZZ]))
-    sof_comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+    sof_comps = b"".join(
+        bytes([i + 1, (hs << 4) | vs, 0])
+        for i, (hs, vs) in enumerate(samps)
+    )
     sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
     dht = seg(0xC4, bytes([0x00] + _JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)) \
         + seg(0xC4, bytes([0x10] + _JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
