@@ -1731,6 +1731,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             be32(17).alias("width"), be32(21).alias("height"),
             nul.alias("sample_rate"), nul.alias("n_samples"),
             nul.alias("n_bytes"), nul.alias("n_chunks"),
+            nul.alias("n_frames"),
+        )
+        vid = assets_from_documents(docs, media_type="video").select(
+            "asset_id", F.lit("video").alias("kind"),
+            F.when(
+                (F.hex(F.expr("substring(payload, 1, 4)"))
+                 == F.lit("52494646"))
+                & (F.hex(F.expr("substring(payload, 9, 4)"))
+                   == F.lit("41564920")),  # 'AVI '
+                "avi",
+            ).otherwise("other").alias("magic"),
+            # avih main header at fixed writer offsets: dwWidth/dwHeight
+            # at avih+32/+36, dwTotalFrames at avih+16 (all LE u32)
+            le32(65).alias("width"), le32(69).alias("height"),
+            nul.alias("sample_rate"), nul.alias("n_samples"),
+            nul.alias("n_bytes"), nul.alias("n_chunks"),
+            le32(49).alias("n_frames"),
         )
         gif = assets_from_documents(docs, media_type="gif").select(
             "asset_id", F.lit("gif").alias("kind"),
@@ -1742,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             le16(7).alias("width"), le16(9).alias("height"),
             nul.alias("sample_rate"), nul.alias("n_samples"),
             nul.alias("n_bytes"), nul.alias("n_chunks"),
+            nul.alias("n_frames"),
         )
         n_samples = le32(41)  # WAV data-chunk length; 1 byte per sample
         aud = assets_from_documents(
@@ -1763,8 +1781,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # the stream's own 1 kHz rate -> hop = 50 frames): windows
             # start at 0, 50, ... while off < n  =>  ceil(n / 50)
             F.ceil(n_samples / F.lit(50.0)).cast("long").alias("n_chunks"),
+            nul.alias("n_frames"),
         )
-        return img.unionByName(gif).unionByName(aud)
+        return img.unionByName(gif).unionByName(vid).unionByName(aud)
     q["mm_asset_meta"] = q_mm_asset_meta
 
     # -- Fellegi–Sunter match-weight waterfall (per-field evidence ledger,
@@ -2749,11 +2768,17 @@ SELECT doc_id AS asset_id, 'image' AS kind, 'png' AS magic,
        CAST(NULL AS BIGINT) AS sample_rate,
        CAST(NULL AS BIGINT) AS n_samples,
        CAST(NULL AS BIGINT) AS n_bytes,
-       CAST(NULL AS BIGINT) AS n_chunks
+       CAST(NULL AS BIGINT) AS n_chunks,
+       CAST(NULL AS BIGINT) AS n_frames
 FROM mm_nb
 UNION ALL
 SELECT doc_id, 'gif', 'gif',
-       24, 24, NULL, NULL, NULL, NULL
+       24, 24, NULL, NULL, NULL, NULL, NULL
+FROM mm_nb
+UNION ALL
+SELECT doc_id, 'video', 'avi',
+       16, 16, NULL, NULL, NULL, NULL,
+       CAST(least((nb + 255) // 256, 8) AS BIGINT)
 FROM mm_nb
 UNION ALL
 SELECT doc_id, 'audio', 'wav',
@@ -2761,7 +2786,8 @@ SELECT doc_id, 'audio', 'wav',
        CAST(1000 AS BIGINT),
        CAST(ns AS BIGINT),
        CAST(44 + ns + (ns % 2) AS BIGINT),
-       CAST(ceil(ns / 50.0) AS BIGINT)
+       CAST(ceil(ns / 50.0) AS BIGINT),
+       NULL
 FROM mm_ns
 """
 

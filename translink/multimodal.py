@@ -915,6 +915,90 @@ def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
     )
 
 
+def decode_avi_mjpeg(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """Pure-stdlib AVI (RIFF) demuxer for Motion-JPEG streams.
+
+    Walks the public RIFF/AVI layout — LIST('hdrl') with the 'avih' main
+    header (frame period, dims), LIST('movi') with '00dc' compressed
+    frame chunks — and decodes every frame with :func:`decode_jpeg`.
+    Returns ``(frames, fps)``. Raises ``ValueError`` for malformed bytes
+    and ``NotImplementedError`` when the frame chunks are not JPEG
+    (other codecs have no decoder in this environment).
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    fps = 25.0
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps
+        while pos + 8 <= end:
+            cid, clen = struct.unpack("<4sI", payload[pos:pos + 8])
+            body_end = pos + 8 + clen
+            if body_end > end:
+                raise ValueError(f"truncated AVI chunk {cid!r}")
+            if cid == b"LIST":
+                walk(pos + 12, body_end)  # skip the 4-byte list type
+            elif cid == b"avih":
+                if clen < 4:
+                    raise ValueError("AVI avih header too short")
+                usec = struct.unpack("<I", payload[pos + 8:pos + 12])[0]
+                if usec:
+                    fps = 1e6 / usec
+            elif cid[2:4] in (b"dc", b"db") and clen:
+                frame = payload[pos + 8:body_end]
+                if not frame.startswith(b"\xff\xd8"):
+                    raise NotImplementedError(
+                        "AVI stream is not Motion-JPEG; no other video "
+                        "codec decodes in this environment"
+                    )
+                frames.append(decode_jpeg(frame))
+            pos = body_end + (clen & 1)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    if not frames:
+        raise ValueError("AVI contains no frame chunks")
+    return frames, fps
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray], fps: float = 25.0, quality: int = 90
+) -> bytes:
+    """Minimal AVI Motion-JPEG writer — the fixture/round-trip counterpart
+    of :func:`decode_avi_mjpeg`. Each frame is JPEG-encoded with
+    :func:`encode_jpeg`; headers carry the real dims/rate/frame count."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    usec = int(round(1e6 / fps))
+    avih = struct.pack(
+        "<IIIIIIIIII4I", usec, 0, 0, 0, len(frames), 0, 1,
+        max(len(p) for p in payloads), w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H", b"vids", b"MJPG", 0, 0, 0, 0,
+        1, int(round(fps)), 0, len(frames),
+        max(len(p) for p in payloads), 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Pure-stdlib BMP decoder (uncompressed BITMAPINFOHEADER, per the
     public BMP file format).
@@ -1287,13 +1371,12 @@ def sample_video_frames(
     keyframe-extraction pass (output cardinality GROWS past the input's;
     Arrow batches bound memory per partition regardless).
 
-    The fake "demuxer" treats the payload as fixed-size frame records;
-    stride/timestamp arithmetic and per-frame digests are real."""
-    if not fake_decode:
-        raise NotImplementedError(
-            "no video codec in this environment; pass fake_decode=True for "
-            "the deterministic stand-in demuxer"
-        )
+    With ``fake_decode=False`` payloads demux + decode FOR REAL as AVI
+    Motion-JPEG (:func:`decode_avi_mjpeg`): the stride walks DECODED
+    frames, timestamps follow the container's own frame rate, and digests
+    cover decoded pixels; non-AVI containers raise. The fake "demuxer"
+    treats the payload as fixed-size frame records; stride/timestamp
+    arithmetic and per-frame digests are real either way."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1301,17 +1384,36 @@ def sample_video_frames(
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                 if p is None or len(p) == 0:
                     continue
-                n_frames = max(len(p) // frame_bytes, 1)
-                for k, idx in enumerate(range(0, n_frames, every_nth)):
+                if fake_decode:
+                    n_frames = max(len(p) // frame_bytes, 1)
+                    for k, idx in enumerate(range(0, n_frames, every_nth)):
+                        if k >= max_frames:
+                            break
+                        frame = np.frombuffer(
+                            p[idx * frame_bytes:(idx + 1) * frame_bytes],
+                            dtype=np.uint8,
+                        )
+                        out["asset_id"].append(aid)
+                        out["frame_idx"].append(idx)
+                        out["ts_ms"].append(int(idx * 1000.0 / fps))
+                        out["frame_hash"].append(
+                            _hash_u8(frame) if frame.size else None
+                        )
+                    continue
+                if sniff_magic(p) != "avi":
+                    raise NotImplementedError(
+                        f"no {sniff_magic(p)} video codec in this "
+                        "environment; only AVI Motion-JPEG demuxes for "
+                        "real — pass fake_decode=True for the stand-in"
+                    )
+                frames, stream_fps = decode_avi_mjpeg(p)
+                for k, idx in enumerate(range(0, len(frames), every_nth)):
                     if k >= max_frames:
                         break
-                    frame = np.frombuffer(
-                        p[idx * frame_bytes:(idx + 1) * frame_bytes], dtype=np.uint8
-                    )
                     out["asset_id"].append(aid)
                     out["frame_idx"].append(idx)
-                    out["ts_ms"].append(int(idx * 1000.0 / fps))
-                    out["frame_hash"].append(_hash_u8(frame) if frame.size else None)
+                    out["ts_ms"].append(int(idx * 1000.0 / stream_fps))
+                    out["frame_hash"].append(_hash_u8(frames[idx]))
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(kernel, schema=FRAME_SCHEMA)
@@ -1393,11 +1495,15 @@ def assets_from_documents(
     with the fake flag off) decodes them downstream; identical text
     yields identical payloads, so multimodal dedup composes with the
     text-dedup lanes. ``media_type="image"`` emits PNG, ``"gif"`` the
-    same tiled image as GIF (LZW lane), ``"audio"`` 8-bit PCM WAV. This
-    is the multimodal analog of the reference deriving its work items
-    from the scanned corpus rather than a side-channel fixture."""
-    if media_type not in ("image", "gif", "audio"):
-        raise ValueError(f"media_type {media_type!r} not in image|gif|audio")
+    same tiled image as GIF (LZW lane), ``"audio"`` 8-bit PCM WAV, and
+    ``"video"`` an AVI Motion-JPEG stream: one 16x16 gray frame per
+    256-byte slice of the text (capped at 8 frames) at 4 fps. This is
+    the multimodal analog of the reference deriving its work items from
+    the scanned corpus rather than a side-channel fixture."""
+    if media_type not in ("image", "gif", "audio", "video"):
+        raise ValueError(
+            f"media_type {media_type!r} not in image|gif|audio|video"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1411,6 +1517,13 @@ def assets_from_documents(
                 elif media_type == "gif":
                     img = np.resize(arr, (image_side, image_side))
                     payloads.append(encode_gif(img))
+                elif media_type == "video":
+                    n_frames = min((len(b) + 255) // 256, 8)
+                    frames = [
+                        np.resize(arr[k * 256:(k + 1) * 256], (16, 16))
+                        for k in range(n_frames)
+                    ]
+                    payloads.append(encode_avi_mjpeg(frames, fps=4.0))
                 else:
                     pcm = np.resize(arr, (min(len(b), audio_bytes),))
                     payloads.append(encode_wav(pcm, sample_rate=sample_rate))
